@@ -1,0 +1,232 @@
+"""PageRank family: PageRank, ArticleRank, Eigenvector centrality.
+
+Reference semantics (must match fixtures to 1e-5, FIXTURES.md §B1-B4):
+- PageRank: delta-push Pregel power iteration
+  (algo/src/main/java/org/neo4j/gds/pagerank/PageRankComputation.java):
+  init rank = delta = alpha = 1 - dampingFactor (personalized: only source
+  nodes; others 0); each superstep delta = dampingFactor * sum(messages),
+  rank += delta; send delta/degree to out-neighbors iff delta > tolerance
+  (always send on the initial superstep); degree-0 nodes never send (dangling
+  mass is NOT redistributed); messages are sum-combined (Reducer.Sum).
+  Weighted: message *= weight and degree = sum of positive weights
+  (DegreeCentrality.java:108-140).
+- ArticleRank (ArticleRankComputation.java:94-101): send
+  delta / (degree + averageDegree), averageDegree = mean *unweighted*
+  out-degree over all nodes (PageRankAlgorithmFactory.averageDegree:50-58).
+- Eigenvector (EigenvectorComputation.java): rank+I accumulation
+  next = rank + sum(messages); send next / weightedDegree (or /1 unweighted);
+  L2-normalize next into rank in masterCompute each superstep; converge when
+  max |normalized_next - prev_rank| <= tolerance (never on superstep 0);
+  init 1/|V| (personalized: 1/|sources|, others 0).
+
+Spark decomposition: per superstep one join (active state ⋈ out-edge shares)
++ one hash aggregation (groupBy(dst).sum == the ReducingMessenger's combine,
+map-side partial agg included) + one outer join back into state.  State is
+checkpointed every superstep (plan truncation + resume, plans/checkpoint.py).
+At scale the state⋈edges join is AQE skew-split; the message aggregation
+needs no salting because partial (map-side) combine bounds reducer input by
+the map-task count.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph, Orientation
+from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+
+
+@dataclass
+class PageRankConfig:
+    damping_factor: float = 0.85
+    tolerance: float = 1e-7
+    max_iterations: int = 20
+    source_nodes: list[int] | None = None  # personalized PageRank
+    weighted: bool = False
+    orientation: Orientation = Orientation.NATURAL
+    checkpoint_path: str | None = None
+    checkpoint_every: int = 1
+
+
+@dataclass
+class CentralityResult:
+    scores: DataFrame  # columns: id, score
+    ran_iterations: int
+    did_converge: bool
+    metrics: list = field(default_factory=list)
+
+
+def _out_shares(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> DataFrame:
+    """Edge rows with a precomputed per-edge message share.
+
+    share(src,dst) such that message = delta(src) * share.  denominator:
+      'degree'      -> share = w / deg(src)            (PageRank)
+      'degree+avg'  -> share = w / (deg(src) + avgDeg) (ArticleRank)
+      'one_or_wdeg' -> share = w / wdeg(src) weighted, w / 1 unweighted
+                       (Eigenvector)
+    where w = weight if cfg.weighted else 1, deg = weighted degree when
+    cfg.weighted (sum of positive weights) else out-degree count.
+    """
+    edges = graph.oriented_edges(cfg.orientation)
+    deg = graph.degrees(orientation=cfg.orientation, weighted=cfg.weighted)
+    w = F.col("weight") if cfg.weighted else F.lit(1.0)
+
+    if denominator == "degree+avg":
+        plain = graph.degrees(orientation=cfg.orientation, weighted=False)
+        avg_degree = plain.agg(F.avg("degree")).collect()[0][0] or 0.0
+        denom = F.col("degree") + F.lit(avg_degree)
+    elif denominator == "one_or_wdeg":
+        denom = F.col("degree") if cfg.weighted else F.lit(1.0)
+    else:
+        denom = F.col("degree")
+
+    shares = (
+        edges.join(deg.withColumnRenamed("id", "src"), "src")
+        .where(F.col("degree") > 0)
+        .select("src", "dst", (w / denom).alias("share"))
+    )
+    sp = edges.sparkSession
+    n_part = int(sp.conf.get("spark.sql.shuffle.partitions"))
+    return shares.repartition(n_part, "src").cache()
+
+
+def page_rank(graph: LinkGraph, cfg: PageRankConfig | None = None) -> CentralityResult:
+    cfg = cfg or PageRankConfig()
+    return _delta_push(graph, cfg, denominator="degree")
+
+
+def article_rank(graph: LinkGraph, cfg: PageRankConfig | None = None) -> CentralityResult:
+    cfg = cfg or PageRankConfig()
+    return _delta_push(graph, cfg, denominator="degree+avg")
+
+
+def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> CentralityResult:
+    spark = graph.nodes.sparkSession
+    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    alpha = 1.0 - cfg.damping_factor
+    d = cfg.damping_factor
+
+    shares = _out_shares(graph, cfg, denominator)
+
+    if cfg.source_nodes:
+        srcs = set(int(s) for s in cfg.source_nodes)
+        init = (
+            F.when(F.col("id").isin(list(srcs)), F.lit(alpha)).otherwise(F.lit(0.0))
+        )
+    else:
+        init = F.lit(alpha)
+    state = graph.nodes.select("id", init.alias("rank"), init.alias("delta"))
+    state = ckpt.checkpoint(state, 0)
+
+    # ranIterations mirrors Pregel.run (pregel/.../Pregel.java:154-190): on
+    # convergence the 0-based index of the converged iteration is reported;
+    # otherwise maxIterations.
+    ran, converged = cfg.max_iterations, False
+    if cfg.max_iterations <= 0:
+        return CentralityResult(state.select("id", F.col("rank").alias("score")), 0, False)
+
+    edges_processed_total = 0
+    t0 = time.time()
+    for t in range(1, cfg.max_iterations):
+        # superstep t receives what superstep t-1 sent; on the initial
+        # superstep every node sends regardless of tolerance
+        # (PageRankComputation.java:90 `delta > tolerance || isInitialSuperstep`).
+        send_gate = F.col("delta") > (F.lit(0.0) if t == 1 else F.lit(cfg.tolerance))
+        senders = state.where(send_gate).select("id", "delta")
+        msgs = (
+            senders.join(shares, senders["id"] == shares["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("delta") * F.col("share")).alias("msg"))
+        )
+        new_delta = F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0))
+        state = (
+            state.join(msgs, state["id"] == msgs["dst"], "left")
+            .select(
+                state["id"],
+                (F.col("rank") + new_delta).alias("rank"),
+                new_delta.alias("delta"),
+            )
+        )
+        state = ckpt.checkpoint(state, t)
+        active = state.where(F.col("delta") > cfg.tolerance).count()
+        ckpt.log(
+            t,
+            algorithm="pagerank" if denominator == "degree" else "articlerank",
+            active=active,
+            wall_s=time.time() - t0,
+        )
+        if active == 0:
+            ran, converged = t, True
+            break
+
+    scores = state.select("id", F.col("rank").alias("score"))
+    return CentralityResult(scores, ran, converged, ckpt.metrics)
+
+
+def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> CentralityResult:
+    """Eigenvector centrality (EigenvectorComputation.java; FIXTURES.md §B4)."""
+    cfg = cfg or PageRankConfig()
+    spark = graph.nodes.sparkSession
+    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+
+    shares = _out_shares(graph, cfg, denominator="one_or_wdeg")
+
+    n = graph.node_count()
+    if cfg.source_nodes:
+        srcs = [int(s) for s in cfg.source_nodes]
+        init_val = 1.0 / len(srcs)
+        init = F.when(F.col("id").isin(srcs), F.lit(init_val)).otherwise(F.lit(0.0))
+    else:
+        init = F.lit(1.0 / n)
+
+    # superstep 0: next = init (no messages); sent = next * share happens at
+    # the edge level next round; normalize init into rank.
+    state = graph.nodes.select("id", init.alias("next"), init.alias("prev_rank"))
+    norm = state.agg(F.sqrt(F.sum(F.col("next") * F.col("next")))).collect()[0][0] or 1.0
+    state = state.select(
+        "id",
+        (F.col("next") / F.lit(norm)).alias("rank"),
+        F.col("next").alias("sent_base"),  # unnormalized next, message base
+    )
+    state = ckpt.checkpoint(state, 0)
+
+    ran, converged = cfg.max_iterations, False
+    t0 = time.time()
+    for t in range(1, cfg.max_iterations):
+        msgs = (
+            state.select("id", "sent_base")
+            .join(shares, state["id"] == shares["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("sent_base") * F.col("share")).alias("msg"))
+        )
+        nxt = (
+            state.join(msgs, state["id"] == msgs["dst"], "left")
+            .select(
+                state["id"],
+                F.col("rank").alias("prev_rank"),
+                (F.col("rank") + F.coalesce(F.col("msg"), F.lit(0.0))).alias("next"),
+            )
+        )
+        nxt = ckpt.checkpoint(nxt, t, name="pre_norm")
+        norm = nxt.agg(F.sqrt(F.sum(F.col("next") * F.col("next")))).collect()[0][0] or 1.0
+        state = nxt.select(
+            "id",
+            (F.col("next") / F.lit(norm)).alias("rank"),
+            F.col("next").alias("sent_base"),
+            "prev_rank",
+        )
+        state = ckpt.checkpoint(state, t)
+        not_conv = state.where(
+            F.abs(F.col("rank") - F.col("prev_rank")) > cfg.tolerance
+        ).count()
+        ckpt.log(t, algorithm="eigenvector", active=not_conv, wall_s=time.time() - t0)
+        if not_conv == 0:
+            ran, converged = t, True
+            break
+
+    scores = state.select("id", F.col("rank").alias("score"))
+    return CentralityResult(scores, ran, converged, ckpt.metrics)

@@ -1,0 +1,241 @@
+"""PageRank family golden fixtures from the reference test suite.
+
+Source: algo/src/test/java/org/neo4j/gds/pagerank/PageRankTest.java
+(values transcribed in FIXTURES.md §B1-B4); SCORE_PRECISION = 1e-5.
+"""
+
+import pytest
+
+from graph_data_science_spark.operators.graph import LinkGraph
+from graph_data_science_spark.operators.pagerank import (
+    PageRankConfig,
+    article_rank,
+    eigenvector,
+    page_rank,
+)
+from tests.conftest import edges_from, ids
+
+LETTERS = "abcdefghijk"
+WIKI_EDGES = "b->c, c->b, d->a, d->b, e->b, e->d, e->f, f->b, f->e, g->b, g->e, h->b, h->e, i->b, i->e, j->e, k->e"
+
+EXPECTED = {
+    "a": 0.3040965,
+    "b": 3.5604297,
+    "c": 3.1757906,
+    "d": 0.3625935,
+    "e": 0.7503465,
+    "f": 0.3625935,
+    "g": 0.15,
+    "h": 0.15,
+    "i": 0.15,
+    "j": 0.15,
+    "k": 0.15,
+}
+
+
+def scores_by_letter(result, letters=LETTERS):
+    m = {i: c for c, i in ids(letters).items()}
+    return {m[r["id"]]: r["score"] for r in result.scores.collect()}
+
+
+def assert_close(actual: dict, expected: dict, tol=1e-5):
+    assert set(actual) == set(expected)
+    for k in expected:
+        assert actual[k] == pytest.approx(expected[k], abs=tol), k
+
+
+def wiki_graph(spark, weights=None):
+    return LinkGraph.from_edges(
+        spark,
+        edges_from(LETTERS, WIKI_EDGES, weights),
+        nodes=range(len(LETTERS)),
+    )
+
+
+class TestPageRank:
+    def test_unweighted_wikipedia_fixture(self, spark):
+        # PageRankTest.java:64-96: maxIterations 41, tolerance 0
+        res = page_rank(wiki_graph(spark), PageRankConfig(tolerance=0, max_iterations=41))
+        assert_close(scores_by_letter(res), EXPECTED)
+
+    def test_personalized_sources_a_e(self, spark):
+        # PageRankTest.java:141-166
+        expected = {
+            "a": 0.17053529152163158,
+            "b": 0.3216114449911402,
+            "c": 0.27329311398643763,
+            "d": 0.048318333106500536,
+            "e": 0.17053529152163158,
+            "f": 0.048318333106500536,
+            "g": 0.0,
+            "h": 0.0,
+            "i": 0.0,
+            "j": 0.0,
+            "k": 0.0,
+        }
+        m = ids(LETTERS)
+        res = page_rank(
+            wiki_graph(spark),
+            PageRankConfig(tolerance=0, max_iterations=41, source_nodes=[m["a"], m["e"]]),
+        )
+        assert_close(scores_by_letter(res), expected)
+
+    def test_personalized_sources_k_b(self, spark):
+        expected = {
+            "a": 0.017454997930076894,
+            "b": 0.813246950528992,
+            "c": 0.690991752640184,
+            "d": 0.041070583050331164,
+            "e": 0.1449550029964717,
+            "f": 0.041070583050331164,
+            "g": 0.0,
+            "h": 0.0,
+            "i": 0.0,
+            "j": 0.0,
+            "k": 0.15000000000000002,
+        }
+        m = ids(LETTERS)
+        res = page_rank(
+            wiki_graph(spark),
+            PageRankConfig(tolerance=0, max_iterations=41, source_nodes=[m["k"], m["b"]]),
+        )
+        assert_close(scores_by_letter(res), expected)
+
+    @pytest.mark.parametrize("tolerance,expected_iterations", [(0.5, 2), (0.1, 13)])
+    def test_tolerance_controls_iterations(self, spark, tolerance, expected_iterations):
+        # PageRankTest.java:128-141
+        res = page_rank(wiki_graph(spark), PageRankConfig(tolerance=tolerance, max_iterations=40))
+        assert res.ran_iterations == expected_iterations
+        assert res.did_converge
+
+    def test_weighted(self, spark):
+        # PageRankTest.java:238-323 — normalized and x10 weights give identical results
+        w_norm = [1.0, 1.0, 0.2, 0.8, 0.1, 0.7, 0.2, 0.7, 0.3, 0.01, 0.99, 0.5, 0.5, 0.5, 0.5, 1.0, 1.0]
+        expected = {
+            "a": 0.24919,
+            "b": 3.69822,
+            "c": 3.29307,
+            "d": 0.58349,
+            "e": 0.72855,
+            "f": 0.27385,
+            "g": 0.15,
+            "h": 0.15,
+            "i": 0.15,
+            "j": 0.15,
+            "k": 0.15,
+        }
+        for scale in (1.0, 10.0):
+            g = wiki_graph(spark, weights=[w * scale for w in w_norm])
+            res = page_rank(g, PageRankConfig(tolerance=0, max_iterations=41, weighted=True))
+            assert_close(scores_by_letter(res), expected)
+
+    def test_zero_weights_stay_alpha(self, spark):
+        # PageRankTest.java:325-345: all weights 0 -> every node keeps 0.15
+        g = wiki_graph(spark, weights=[0.0] * 17)
+        res = page_rank(g, PageRankConfig(tolerance=0, max_iterations=41, weighted=True))
+        assert_close(scores_by_letter(res), {c: 0.15 for c in LETTERS})
+
+
+class TestArticleRank:
+    def test_graph1(self, spark):
+        # PageRankTest.java:347-399: maxIterations 40, tolerance 0
+        letters = "abcdefghij"
+        edges = edges_from(letters, "b->c, c->b, d->a, d->b, e->b, e->d, e->f, f->b, f->e")
+        g = LinkGraph.from_edges(spark, edges, nodes=range(10))
+        expected = {
+            "a": 0.20720,
+            "b": 0.47091,
+            "c": 0.36067,
+            "d": 0.19515,
+            "e": 0.20720,
+            "f": 0.19515,
+            "g": 0.15,
+            "h": 0.15,
+            "i": 0.15,
+            "j": 0.15,
+        }
+        res = article_rank(g, PageRankConfig(tolerance=0, max_iterations=40))
+        assert_close(scores_by_letter(res, letters), expected)
+
+    def test_paper_graph(self, spark):
+        letters = "abcdefg"
+        edges = edges_from(
+            letters,
+            "b->a, c->a, c->b, d->a, d->b, d->c, e->a, e->b, e->c, e->d, f->b, f->e, g->b, g->e",
+        )
+        g = LinkGraph.from_edges(spark, edges, nodes=range(7))
+        expected = {
+            "a": 0.34627,
+            "b": 0.31950,
+            "c": 0.21092,
+            "d": 0.18028,
+            "e": 0.21375,
+            "f": 0.15,
+            "g": 0.15,
+        }
+        res = article_rank(g, PageRankConfig(tolerance=0, max_iterations=20))
+        assert_close(scores_by_letter(res, letters), expected)
+
+
+EIG_LETTERS = "abcdefghij"
+EIG_EDGES = "b->c, c->b, d->a, d->b, e->b, e->d, e->f, f->b, f->e"
+EIG_WEIGHTS = [1.0, 3.0, 5.0, 5.0, 4.0, 4.0, 4.0, 10.0, 10.0]
+
+
+class TestEigenvector:
+    def test_unweighted(self, spark):
+        g = LinkGraph.from_edges(spark, edges_from(EIG_LETTERS, EIG_EDGES), nodes=range(10))
+        expected = {
+            "a": 0.01262,
+            "b": 0.71623,
+            "c": 0.69740,
+            "d": 0.01262,
+            "e": 0.01262,
+            "f": 0.01262,
+            "g": 0.0,
+            "h": 0.0,
+            "i": 0.0,
+            "j": 0.0,
+        }
+        res = eigenvector(g, PageRankConfig(tolerance=0, max_iterations=40))
+        assert_close(scores_by_letter(res, EIG_LETTERS), expected)
+
+    def test_weighted(self, spark):
+        g = LinkGraph.from_edges(
+            spark, edges_from(EIG_LETTERS, EIG_EDGES, EIG_WEIGHTS), nodes=range(10)
+        )
+        expected = {
+            "a": 0.00210,
+            "b": 0.70774,
+            "c": 0.70645,
+            "d": 0.00172,
+            "e": 0.00210,
+            "f": 0.00172,
+            "g": 0.0,
+            "h": 0.0,
+            "i": 0.0,
+            "j": 0.0,
+        }
+        res = eigenvector(g, PageRankConfig(tolerance=0, max_iterations=10, weighted=True))
+        assert_close(scores_by_letter(res, EIG_LETTERS), expected)
+
+    def test_personalized(self, spark):
+        g = LinkGraph.from_edges(spark, edges_from(EIG_LETTERS, EIG_EDGES), nodes=range(10))
+        m = ids(EIG_LETTERS)
+        expected = {
+            "a": 0.00997,
+            "b": 0.70735,
+            "c": 0.70678,
+            "d": 0.00056,
+            "e": 0.0,
+            "f": 0.0,
+            "g": 0.0,
+            "h": 0.0,
+            "i": 0.0,
+            "j": 0.0,
+        }
+        res = eigenvector(
+            g,
+            PageRankConfig(tolerance=0.1, max_iterations=10, source_nodes=[m["d"]]),
+        )
+        assert_close(scores_by_letter(res, EIG_LETTERS), expected)

@@ -1,0 +1,130 @@
+"""WCC — weakly connected components via iterative min-label propagation.
+
+Reference: algo/src/main/java/org/neo4j/gds/wcc/Wcc.java — wait-free parallel
+union-find with path halving and Union-by-Min ("the smaller community ID
+wins", core/.../paged/dss/HugeAtomicDisjointSetStruct.java:163-189).  The
+observable contract we reproduce exactly: **final component id = min dense
+node id in the component**, identical under NATURAL/REVERSE/UNDIRECTED
+orientation, optional weight threshold (union only edges with
+weight > threshold, Wcc.java:290-311).
+
+Spark decomposition: shared-memory CAS union-find doesn't port; the same
+fixpoint is reached by min-label propagation rounds with two scale tricks:
+- frontier filtering: only labels that changed last round are re-sent
+  (the Spark analog of GDS's sampled/largest-component skip, Wcc.java:57-78);
+- pointer jumping each round (comp := comp[comp]) — the path-halving analog —
+  which keeps rounds logarithmic in component diameter (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", see PAPERS.md).
+Every round is one join + one partial/final min aggregation; state is
+checkpointed (plan truncation + resume).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph
+from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+
+
+@dataclass
+class WccConfig:
+    threshold: float | None = None  # union only edges with weight > threshold
+    max_rounds: int = 200
+    checkpoint_path: str | None = None
+    consecutive_ids: bool = False  # remap component ids to 0..k-1 by rank
+
+
+@dataclass
+class WccResult:
+    components: DataFrame  # id, comp
+    rounds: int
+    did_converge: bool
+    metrics: list = field(default_factory=list)
+
+
+def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
+    cfg = cfg or WccConfig()
+    spark = graph.nodes.sparkSession
+    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = graph.edges
+    if cfg.threshold is not None:
+        edges = edges.where(F.col("weight") > F.lit(cfg.threshold))
+    # connectivity is orientation-independent: propagate along both directions
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(n_part, "src")
+        .cache()
+    )
+
+    # comp(id) := id; changed := true
+    state = graph.nodes.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
+    state = ckpt.checkpoint(state, 0)
+
+    rounds, converged = cfg.max_rounds, False
+    t0 = time.time()
+    for r in range(1, cfg.max_rounds + 1):
+        frontier = state.where("changed").select("id", "comp")
+        # neighbor-min: each changed node offers its comp to its neighbors
+        offers = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        merged = state.join(offers, state["id"] == offers["dst"], "left").select(
+            state["id"],
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping: comp := comp[comp] (component ids are node ids, so
+        # indexing the comp table by comp is well-defined)
+        lookup = merged.select(F.col("id").alias("p_id"), F.col("comp").alias("p_comp"))
+        jumped = merged.join(lookup, merged["comp"] == lookup["p_id"], "left").select(
+            merged["id"],
+            "old_comp",
+            F.least(F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))).alias("comp"),
+        )
+        state = jumped.select(
+            "id", "comp", (F.col("comp") < F.col("old_comp")).alias("changed")
+        )
+        state = ckpt.checkpoint(state, r)
+        changed = state.where("changed").count()
+        ckpt.log(r, algorithm="wcc", changed=changed, wall_s=time.time() - t0)
+        if changed == 0:
+            rounds, converged = r, True
+            break
+
+    comps = state.select("id", "comp")
+    if cfg.consecutive_ids:
+        comps = consecutive_ids(comps)
+    return WccResult(comps, rounds, converged, ckpt.metrics)
+
+
+def consecutive_ids(components: DataFrame, comp_col: str = "comp") -> DataFrame:
+    """Remap component ids to 0..k-1 in rank order.
+
+    Analog of ConsecutiveLongNodeProperties (used by WccStreamProc.java:92-97).
+    dense_rank over a global ORDER BY is a single-partition sort at scale; the
+    remap table is tiny (k rows) so we build it from the distinct comps and
+    broadcast-join it back.
+    """
+    from pyspark.sql.window import Window
+
+    distinct = components.select(comp_col).distinct()
+    mapping = distinct.select(
+        F.col(comp_col),
+        (F.dense_rank().over(Window.orderBy(comp_col)) - 1).alias("_new"),
+    )
+    return (
+        components.join(F.broadcast(mapping), comp_col)
+        .select("id", F.col("_new").alias(comp_col))
+    )

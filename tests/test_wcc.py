@@ -1,0 +1,61 @@
+"""WCC golden fixtures (algo/src/test/java/org/neo4j/gds/wcc/WccTest.java,
+FIXTURES.md §B5): component id = min dense node id, identical under all
+orientations; threshold unions only edges with weight > threshold."""
+
+from graph_data_science_spark.operators.graph import LinkGraph, Orientation
+from graph_data_science_spark.operators.wcc import WccConfig, consecutive_ids, wcc
+from tests.conftest import edges_from
+
+
+def comp_map(result):
+    return {r["id"]: r["comp"] for r in result.components.collect()}
+
+
+class TestWcc:
+    def test_three_components_fixture(self, spark):
+        # WccTest.java:349-380: {a,b,c,d}->0, {e,f,g}->4, {h,i}->7, {j}->9
+        edges = edges_from("abcdefghij", "a->b, b->c, c->d, d->a, e->f, f->g, g->e, i->h, h->i")
+        expected = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9}
+        for orientation in Orientation:
+            g = LinkGraph.from_edges(spark, edges, nodes=range(10), orientation=orientation)
+            res = wcc(g)
+            assert comp_map(res) == expected, orientation
+            assert res.did_converge
+
+    def test_sixteen_chains(self, spark):
+        # WccTest.java:64-119: 16 disjoint 10-node chains -> 16 components
+        edges = []
+        for c in range(16):
+            base = c * 10
+            edges += [(base + i, base + i + 1) for i in range(9)]
+        g = LinkGraph.from_edges(spark, edges, nodes=range(160))
+        res = wcc(g)
+        comps = comp_map(res)
+        assert len(set(comps.values())) == 16
+        for c in range(16):
+            base = c * 10
+            assert {comps[base + i] for i in range(10)} == {base}
+
+    def test_threshold(self, spark):
+        # WccThresholdTest semantics: union only edges with weight > threshold
+        edges = [(0, 1, 5.0), (1, 2, 0.5), (3, 4, 2.0)]
+        g = LinkGraph.from_edges(spark, edges, nodes=range(5))
+        res = wcc(g, WccConfig(threshold=1.0))
+        assert comp_map(res) == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3}
+        res_all = wcc(g)
+        assert comp_map(res_all) == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+    def test_long_chain_logarithmic_rounds(self, spark):
+        # pointer jumping keeps rounds ~log(diameter): 200-node path
+        edges = [(i, i + 1) for i in range(199)]
+        g = LinkGraph.from_edges(spark, edges, nodes=range(200))
+        res = wcc(g, WccConfig(max_rounds=30))
+        assert res.did_converge
+        assert res.rounds <= 15
+        assert set(comp_map(res).values()) == {0}
+
+    def test_consecutive_ids(self, spark):
+        edges = edges_from("abcdefghij", "a->b, b->c, c->d, d->a, e->f, f->g, g->e, i->h, h->i")
+        g = LinkGraph.from_edges(spark, edges, nodes=range(10))
+        res = wcc(g, WccConfig(consecutive_ids=True))
+        assert comp_map(res) == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 3}

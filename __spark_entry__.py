@@ -3,8 +3,18 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Graph derivation shared by both engines: a deterministic edge table from the
+TPC-H-ish testdata (pure integer arithmetic, so DuckDB replays it exactly):
+
+- dense graph  G1: src = l_orderkey % 997,  dst = l_partkey % 997   (lineitem)
+- sparse graph G2: src = o_orderkey % 4993, dst = (o_custkey*7) % 4993 (orders)
+
+Float results are rounded to 6 decimals on BOTH sides; rankings that feed a
+top-k cut are ranked on the *rounded* score (ties -> id asc) so both engines
+make identical cuts.  Iterative algorithms run a FIXED number of supersteps
+(tolerance=0) so the recursive-CTE oracle can mirror them exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +22,945 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graph_data_science_spark.operators.graph import Aggregation, LinkGraph, Orientation
+from graph_data_science_spark.operators import degree as deg_ops
+from graph_data_science_spark.operators import pagerank as pr_ops
+from graph_data_science_spark.operators import wcc as wcc_ops
+from graph_data_science_spark.operators import labelprop as lp_ops
+from graph_data_science_spark.operators import triangles as tri_ops
+from graph_data_science_spark.operators import similarity as sim_ops
+from graph_data_science_spark.operators import community as comm_ops
+from graph_data_science_spark.operators import paths as path_ops
+from graph_data_science_spark.operators import hits as hits_ops
+from graph_data_science_spark.operators import scaling as scale_ops
+from graph_data_science_spark.operators import dedup as dedup_ops
+from graph_data_science_spark.operators import text as text_ops
+from graph_data_science_spark.operators import ann as ann_ops
+
+N1 = 997  # dense lineitem-derived graph node space
+N2 = 4993  # sparse orders-derived graph node space
+PR_ITERS = 20  # message rounds for the fixed-iteration PageRank parity runs
+WCC_SQL_ROUNDS = 60  # fixed min-label rounds in the SQL oracle (>> diameter)
+
+
+# --------------------------------------------------------------------------
+# shared graph builders (Spark side)
+# --------------------------------------------------------------------------
+
+def _tune(spark: SparkSession) -> None:
+    """Keep superstep task counts sane under the driver's default session."""
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+
+
+def _dense_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        (F.col("l_orderkey") % N1).alias("src"),
+        (F.col("l_partkey") % N1).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return LinkGraph.from_edges(spark, e, aggregation=Aggregation.SINGLE)
+
+
+def _dense_weighted_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        (F.col("l_orderkey") % N1).alias("src"),
+        (F.col("l_partkey") % N1).alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    ).where(F.col("src") != F.col("dst"))
+    return LinkGraph.from_edges(spark, e, aggregation=Aggregation.SUM)
+
+
+def _sparse_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = o.select(
+        (F.col("o_orderkey") % N2).alias("src"),
+        ((F.col("o_custkey") * 7) % N2).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return LinkGraph.from_edges(spark, e, aggregation=Aggregation.SINGLE)
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus injected exact duplicates (doc_id+100000 for doc_id%5=0)
+    — deterministic in both engines so dedup oracles have non-empty results."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# shared SQL fragments (DuckDB side) -- mirror the builders above exactly
+SQL_EDGES = f"""edges AS (
+  SELECT DISTINCT l_orderkey % {N1} AS src, l_partkey % {N1} AS dst
+  FROM lineitem WHERE l_orderkey % {N1} <> l_partkey % {N1}
+)"""
+SQL_NODES = ("nodes AS (SELECT DISTINCT id FROM "
+             "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))")
+SQL_WEDGES = f"""wedges AS (
+  SELECT l_orderkey % {N1} AS src, l_partkey % {N1} AS dst,
+         SUM(l_quantity) AS weight
+  FROM lineitem WHERE l_orderkey % {N1} <> l_partkey % {N1}
+  GROUP BY 1, 2
+)"""
+SQL_WNODES = ("wnodes AS (SELECT DISTINCT id FROM "
+              "(SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges))")
+SQL_EDGES2 = f"""edges2 AS (
+  SELECT DISTINCT o_orderkey % {N2} AS src, (o_custkey * 7) % {N2} AS dst
+  FROM orders WHERE o_orderkey % {N2} <> (o_custkey * 7) % {N2}
+)"""
+SQL_NODES2 = ("nodes2 AS (SELECT DISTINCT id FROM "
+              "(SELECT src AS id FROM edges2 UNION ALL SELECT dst FROM edges2))")
+SQL_DOCS_DUP = """docs_dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)"""
+SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# queries (Spark side)
+# --------------------------------------------------------------------------
+
+def q_degree_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _dense_graph(spark, sf_dir)
+    return deg_ops.degree_centrality(g).select("id", F.round("score", 6).alias("score"))
+
+
+def q_degree_in_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _dense_weighted_graph(spark, sf_dir)
+    return deg_ops.degree_centrality(
+        g, orientation=Orientation.REVERSE, weighted=True
+    ).select("id", F.round("score", 6).alias("score"))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    res = pr_ops.page_rank(g, cfg)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _dense_weighted_graph(spark, sf_dir)
+    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=11, weighted=True)
+    res = pr_ops.page_rank(g, cfg)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_articlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    res = pr_ops.article_rank(g, cfg)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=11)
+    res = pr_ops.eigenvector(g, cfg)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    return wcc_ops.wcc(g).components.select("id", "comp")
+
+
+def q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _dense_weighted_graph(spark, sf_dir)
+    return wcc_ops.wcc(g, wcc_ops.WccConfig(threshold=45.0)).components.select(
+        "id", "comp"
+    )
+
+
+def q_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    comps = wcc_ops.wcc(g).components
+    return comm_ops.community_sizes(comps).select("community", "size")
+
+
+def q_labelprop_1iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    res = lp_ops.label_propagation(g, lp_ops.LabelPropagationConfig(max_iterations=1))
+    return res.labels.select("id", F.col("label").cast("long").alias("label"))
+
+
+def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sync label propagation to convergence/10 iters — rows-only check
+    (iterative argmax fixpoint; no tractable single-shot SQL)."""
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    res = lp_ops.label_propagation(g, lp_ops.LabelPropagationConfig(max_iterations=10))
+    return res.labels.select("id", F.col("label").cast("long").alias("label"))
+
+
+def q_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _dense_graph(spark, sf_dir)
+    res = tri_ops.triangle_count(g)
+    return spark.createDataFrame([(int(res.global_triangles),)], "triangles long")
+
+
+def q_triangle_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _dense_graph(spark, sf_dir)
+    res = tri_ops.triangle_count(g)
+    return res.local_triangles.select(
+        "id", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+def q_triangle_max_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _dense_graph(spark, sf_dir)
+    res = tri_ops.triangle_count(g, tri_ops.TriangleCountConfig(max_degree=100))
+    return res.local_triangles.select(
+        "id", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _dense_graph(spark, sf_dir)
+    return tri_ops.local_clustering_coefficient(g).select(
+        "id", F.round("coefficient", 6).alias("coefficient")
+    )
+
+
+def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _sparse_graph(spark, sf_dir)
+    out = sim_ops.node_similarity(g, metric="JACCARD", top_k=5)
+    return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
+
+
+def q_collapse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _sparse_graph(spark, sf_dir)
+    return path_ops.collapse_path(g)
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    src = g.nodes.agg(F.min("id")).collect()[0][0]
+    return path_ops.bfs(g, int(src)).select("id", F.col("hops").cast("int").alias("hops"))
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    src = g.nodes.agg(F.min("id")).collect()[0][0]
+    res = path_ops.sssp_delta(g, int(src), weighted=False)
+    return res.distances.select("id", F.round("distance", 6).alias("distance"))
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _dense_graph(spark, sf_dir)
+    comm = g.nodes.select("id", (F.col("id") % 7).alias("community"))
+    return comm_ops.conductance(g, comm).select(
+        "community", F.round("conductance", 6).alias("conductance")
+    )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _dense_graph(spark, sf_dir)
+    comm = g.nodes.select("id", (F.col("id") % 7).alias("community"))
+    q = comm_ops.modularity(g, comm)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities — rows-only (per-phase global L2 normalization
+    has no tractable recursive-SQL mirror at this shape)."""
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    res = hits_ops.hits(g, hits_ops.HitsConfig(hits_iterations=10, tolerance=0.0))
+    return res.scores.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def q_scalers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("x")
+    )
+    out = scale_ops.scale_property(cust, "x", "MINMAX", out_col="minmax")
+    out = scale_ops.scale_property(out, "x", "STDSCORE", out_col="stdscore")
+    out = scale_ops.scale_property(out, "x", "MEAN", out_col="meanscale")
+    out = scale_ops.scale_property(out, "x", "L2NORM", out_col="l2norm")
+    return out.select(
+        "id",
+        F.round("minmax", 6).alias("minmax"),
+        F.round("stdscore", 6).alias("stdscore"),
+        F.round("meanscale", 6).alias("meanscale"),
+        F.round("l2norm", 6).alias("l2norm"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents_with_dups(spark, sf_dir)
+    return dedup_ops.exact_duplicates(docs).select("fp", "n_docs", "canonical_id")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return dedup_ops.minhash_signatures(docs, num_hashes=8)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents_with_dups(spark, sf_dir)
+    return dedup_ops.lsh_candidate_pairs(docs, bands=4, rows_per_band=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return dedup_ops.simhash_signatures(docs, bits=16)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    out = dedup_ops.ngram_jaccard_pairs(docs, n=2, max_id_distance=50)
+    return out.select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_count(_documents(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.text_quality(_documents(spark, sf_dir))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.language_id(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(_documents(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors 0..4; ranked on the
+    ROUNDED cosine (ties -> neighbor_id) so both engines cut identically."""
+    emb = _embeddings(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+    ).withColumn(
+        "_n",
+        F.sqrt(F.aggregate(F.transform("_v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    q = base.where(F.col("_id") < 5).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), F.col("_n").alias("qn")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(
+            base.select(
+                F.col("_id").alias("neighbor_id"),
+                F.col("_v").alias("nv"),
+                F.col("_n").alias("nn"),
+            )
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / (F.col("qn") * F.col("nn")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5).drop("rn")
+
+
+def q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs at rounded-cosine >= 0.35."""
+    emb = _embeddings(spark, sf_dir)
+    out = dedup_ops.embedding_near_duplicates(
+        emb, threshold=-2.0, id_col="vec_id", vec_col="embedding"
+    )
+    return out.select("id1", "id2", F.round("cosine", 6).alias("cosine")).where(
+        F.col("cosine") >= 0.35
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (rows-only: bucket hashes use xxhash64
+    which DuckDB cannot replay)."""
+    emb = _embeddings(spark, sf_dir)
+    out = ann_ops.lsh_ann_topk(emb, k=5, query_ids=[0, 1, 2, 3, 4])
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end: documents -> synthetic web_pages(html) -> Arrow-UDF
+    link extraction -> id map -> edge build -> PageRank (rows-only: the html
+    parse is not SQL-expressible)."""
+    _tune(spark)
+    from graph_data_science_spark.sources.corpus import web_pages_from_documents
+    from graph_data_science_spark.sources.edges import build_link_graph
+
+    docs = _documents(spark, sf_dir)
+    pages = web_pages_from_documents(docs)
+    g = build_link_graph(pages)
+    res = pr_ops.page_rank(g, pr_ops.PageRankConfig(tolerance=1e-7, max_iterations=20))
+    return (
+        res.scores.join(g.nodes, "id")
+        .select("url", F.round("score", 6).alias("score"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_corpus_pagerank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "degree_out": q_degree_out,
+        "degree_in_weighted": q_degree_in_weighted,
+        "pagerank": q_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
+        "articlerank": q_articlerank,
+        "eigenvector": q_eigenvector,
+        "wcc": q_wcc,
+        "wcc_threshold": q_wcc_threshold,
+        "wcc_sizes": q_wcc_sizes,
+        "labelprop_1iter": q_labelprop_1iter,
+        "labelprop": q_labelprop,
+        "triangle_global": q_triangle_global,
+        "triangle_local": q_triangle_local,
+        "triangle_max_degree": q_triangle_max_degree,
+        "lcc": q_lcc,
+        "node_similarity": q_node_similarity,
+        "collapse_path": q_collapse_path,
+        "bfs": q_bfs,
+        "sssp": q_sssp,
+        "conductance": q_conductance,
+        "modularity": q_modularity,
+        "hits": q_hits,
+        "scalers": q_scalers,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_near_dup": q_ann_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "corpus_pagerank": q_corpus_pagerank,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB side)
+# --------------------------------------------------------------------------
+
+def _sql_pagerank(iters: int, weighted: bool) -> str:
+    if weighted:
+        pre = f"WITH RECURSIVE {SQL_WEDGES}, {SQL_WNODES},\n"
+        edges, nodes = "wedges", "wnodes"
+        deg = (
+            "deg AS (SELECT src, SUM(CASE WHEN weight > 0 THEN weight ELSE 0 END)"
+            " AS degree FROM wedges GROUP BY src HAVING degree > 0)"
+        )
+        msg = "SUM(p2.delta * e.weight / d.degree)"
+    else:
+        pre = f"WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},\n"
+        edges, nodes = "edges", "nodes"
+        deg = "deg AS (SELECT src, COUNT(*)::DOUBLE AS degree FROM edges GROUP BY src)"
+        msg = "SUM(p2.delta / d.degree)"
+    return f"""{pre}{deg},
+pr(iter, id, rank, delta) AS (
+  SELECT 0, id, 0.15::DOUBLE, 0.15::DOUBLE FROM {nodes}
+  UNION ALL
+  SELECT p.iter + 1, p.id,
+         p.rank + 0.85 * COALESCE(m.msg, 0.0),
+         0.85 * COALESCE(m.msg, 0.0)
+  FROM (SELECT * FROM pr WHERE iter < {iters}) p
+  LEFT JOIN (
+    SELECT e.dst AS id, {msg} AS msg
+    FROM pr p2 JOIN deg d ON d.src = p2.id JOIN {edges} e ON e.src = p2.id
+    GROUP BY e.dst
+  ) m ON m.id = p.id
+)
+SELECT id, ROUND(rank, 6) AS score FROM pr WHERE iter = {iters}"""
+
+
+SQL_ARTICLERANK = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
+deg AS (SELECT src, COUNT(*)::DOUBLE AS degree FROM edges GROUP BY src),
+params AS (
+  SELECT AVG(COALESCE(d.degree, 0.0)) AS avgdeg
+  FROM nodes n LEFT JOIN deg d ON d.src = n.id
+),
+pr(iter, id, rank, delta) AS (
+  SELECT 0, id, 0.15::DOUBLE, 0.15::DOUBLE FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, p.id,
+         p.rank + 0.85 * COALESCE(m.msg, 0.0),
+         0.85 * COALESCE(m.msg, 0.0)
+  FROM (SELECT * FROM pr WHERE iter < {PR_ITERS}) p
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p2.delta / (d.degree + params.avgdeg)) AS msg
+    FROM pr p2 JOIN deg d ON d.src = p2.id JOIN edges e ON e.src = p2.id,
+         params
+    GROUP BY e.dst
+  ) m ON m.id = p.id
+)
+SELECT id, ROUND(rank, 6) AS score FROM pr WHERE iter = {PR_ITERS}"""
+
+
+SQL_EIGENVECTOR = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
+ev(iter, id, rank, sent) AS (
+  SELECT 0, id, x / SQRT(SUM(x * x) OVER ()), x
+  FROM (SELECT id, 1.0 / (SELECT COUNT(*) FROM nodes) AS x FROM nodes)
+  UNION ALL
+  SELECT p.iter + 1, p.id,
+         (p.rank + COALESCE(m.msg, 0.0))
+           / SQRT(SUM(POW(p.rank + COALESCE(m.msg, 0.0), 2)) OVER ()),
+         p.rank + COALESCE(m.msg, 0.0)
+  FROM (SELECT * FROM ev WHERE iter < 10) p
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p2.sent) AS msg
+    FROM ev p2 JOIN edges e ON e.src = p2.id
+    GROUP BY e.dst
+  ) m ON m.id = p.id
+)
+SELECT id, ROUND(rank, 6) AS score FROM ev WHERE iter = 10"""
+
+
+def _sql_wcc(edges: str, nodes: str, pre: str) -> str:
+    """Fixed-round min-label propagation over the symmetrized edge set;
+    WCC_SQL_ROUNDS >> graph diameter, so the fixpoint (= Spark's converged
+    result: min node id per component) is reached."""
+    return f"""{pre},
+sym AS (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM {edges} UNION ALL SELECT dst AS src, src AS dst FROM {edges})),
+mlp(iter, id, comp) AS (
+  SELECT 0, id, id FROM {nodes}
+  UNION ALL
+  SELECT p.iter + 1, p.id, LEAST(p.comp, COALESCE(m.nbr_min, p.comp))
+  FROM (SELECT * FROM mlp WHERE iter < {WCC_SQL_ROUNDS}) p
+  LEFT JOIN (
+    SELECT s.dst AS id, MIN(p2.comp) AS nbr_min
+    FROM mlp p2 JOIN sym s ON s.src = p2.id
+    GROUP BY s.dst
+  ) m ON m.id = p.id
+)
+SELECT id, comp FROM mlp WHERE iter = {WCC_SQL_ROUNDS}"""
+
+
+SQL_WCC = _sql_wcc("edges2", "nodes2", f"WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2}")
+
+SQL_WCC_THRESHOLD = _sql_wcc(
+    "fedges",
+    "wnodes",
+    f"WITH RECURSIVE {SQL_WEDGES}, {SQL_WNODES},\n"
+    "fedges AS (SELECT src, dst FROM wedges WHERE weight > 45.0)",
+)
+
+SQL_WCC_SIZES = (
+    SQL_WCC.replace(
+        f"SELECT id, comp FROM mlp WHERE iter = {WCC_SQL_ROUNDS}",
+        f"SELECT comp AS community, COUNT(*) AS size FROM mlp "
+        f"WHERE iter = {WCC_SQL_ROUNDS} GROUP BY comp",
+    )
+)
+
+
+SQL_TRI_PRE = f"""WITH {SQL_EDGES}, {SQL_NODES},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)"""
+
+SQL_TRI_MAXDEG_PRE = f"""WITH {SQL_EDGES}, {SQL_NODES},
+und0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg0 AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT a AS id FROM und0 UNION ALL SELECT b FROM und0
+  ) GROUP BY id
+),
+excl AS (SELECT id FROM deg0 WHERE degree > 100),
+und AS (
+  SELECT a, b FROM und0
+  WHERE a NOT IN (SELECT id FROM excl) AND b NOT IN (SELECT id FROM excl)
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)"""
+
+SQL_LOCAL_TRI = """,
+corners AS (
+  SELECT id, COUNT(*) AS t FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY id
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["degree_out"] = f"""WITH {SQL_EDGES}, {SQL_NODES},
+d AS (SELECT src, COUNT(*)::DOUBLE AS cnt FROM edges GROUP BY src)
+SELECT n.id, ROUND(COALESCE(d.cnt, 0.0), 6) AS score
+FROM nodes n LEFT JOIN d ON d.src = n.id"""
+
+    sqls["degree_in_weighted"] = f"""WITH {SQL_WEDGES}, {SQL_WNODES},
+d AS (SELECT dst, SUM(CASE WHEN weight > 0 THEN weight ELSE 0 END) AS s
+      FROM wedges GROUP BY dst)
+SELECT n.id, ROUND(COALESCE(d.s, 0.0), 6) AS score
+FROM wnodes n LEFT JOIN d ON d.dst = n.id"""
+
+    sqls["pagerank"] = _sql_pagerank(PR_ITERS, weighted=False)
+    sqls["pagerank_weighted"] = _sql_pagerank(10, weighted=True)
+    sqls["articlerank"] = SQL_ARTICLERANK
+    sqls["eigenvector"] = SQL_EIGENVECTOR
+    sqls["wcc"] = SQL_WCC
+    sqls["wcc_threshold"] = SQL_WCC_THRESHOLD
+    sqls["wcc_sizes"] = SQL_WCC_SIZES
+
+    sqls["labelprop_1iter"] = f"""WITH {SQL_EDGES}, {SQL_NODES},
+votes AS (SELECT src AS id, dst AS lbl, COUNT(*) AS w FROM edges GROUP BY 1, 2),
+top AS (
+  SELECT id, lbl,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, lbl ASC) AS rn
+  FROM votes
+)
+SELECT n.id, CAST(COALESCE(t.lbl, n.id) AS BIGINT) AS label
+FROM nodes n LEFT JOIN (SELECT id, lbl FROM top WHERE rn = 1) t ON t.id = n.id"""
+
+    sqls["triangle_global"] = SQL_TRI_PRE + "\nSELECT COUNT(*) AS triangles FROM tri"
+
+    sqls["triangle_local"] = (
+        SQL_TRI_PRE
+        + SQL_LOCAL_TRI
+        + """
+SELECT n.id, CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN corners c ON c.id = n.id"""
+    )
+
+    sqls["triangle_max_degree"] = (
+        SQL_TRI_MAXDEG_PRE
+        + SQL_LOCAL_TRI
+        + """
+SELECT n.id,
+       CAST(CASE WHEN n.id IN (SELECT id FROM excl) THEN -1
+                 ELSE COALESCE(c.t, 0) END AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN corners c ON c.id = n.id"""
+    )
+
+    sqls["lcc"] = (
+        SQL_TRI_PRE
+        + SQL_LOCAL_TRI
+        + """,
+deg AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY id
+)
+SELECT n.id,
+       ROUND(CASE WHEN COALESCE(c.t, 0) = 0 THEN 0.0
+                  ELSE 2.0 * c.t / (d.degree * (d.degree - 1)) END, 6)
+         AS coefficient
+FROM nodes n LEFT JOIN corners c ON c.id = n.id LEFT JOIN deg d ON d.id = n.id"""
+    )
+
+    sqls["node_similarity"] = f"""WITH {SQL_EDGES2},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges2 GROUP BY src),
+inter AS (
+  SELECT a.src AS node1, b.src AS node2, COUNT(*) AS i
+  FROM edges2 a JOIN edges2 b ON a.dst = b.dst AND a.src <> b.src
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT i.node1, i.node2,
+         i.i::DOUBLE / (d1.deg + d2.deg - i.i) AS similarity
+  FROM inter i JOIN deg d1 ON d1.src = i.node1 JOIN deg d2 ON d2.src = i.node2
+)
+SELECT node1, node2, ROUND(similarity, 6) AS similarity FROM (
+  SELECT node1, node2, similarity,
+         ROW_NUMBER() OVER (PARTITION BY node1
+                            ORDER BY similarity DESC, node2 ASC) AS rn
+  FROM sim
+) WHERE rn <= 5"""
+
+    sqls["collapse_path"] = f"""WITH {SQL_EDGES2}
+SELECT DISTINCT e1.src AS src, e2.dst AS dst
+FROM edges2 e1 JOIN edges2 e2 ON e2.src = e1.dst
+WHERE e1.src <> e2.dst"""
+
+    sqls["bfs"] = f"""WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2},
+walk(id, d) AS (
+  SELECT (SELECT MIN(id) FROM nodes2), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges2 e ON e.src = w.id
+  WHERE w.d < 60
+)
+SELECT id, CAST(MIN(d) AS INTEGER) AS hops FROM walk GROUP BY id"""
+
+    sqls["sssp"] = f"""WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2},
+walk(id, d) AS (
+  SELECT (SELECT MIN(id) FROM nodes2), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges2 e ON e.src = w.id
+  WHERE w.d < 60
+)
+SELECT id, ROUND(MIN(d)::DOUBLE, 6) AS distance FROM walk GROUP BY id"""
+
+    sqls["conductance"] = f"""WITH {SQL_EDGES}
+SELECT community, ROUND(external / (external + internal), 6) AS conductance
+FROM (
+  SELECT src % 7 AS community,
+         SUM(CASE WHEN src % 7 = dst % 7 THEN 1.0 ELSE 0.0 END) AS internal,
+         SUM(CASE WHEN src % 7 <> dst % 7 THEN 1.0 ELSE 0.0 END) AS external
+  FROM edges GROUP BY 1
+) WHERE internal + external > 0"""
+
+    sqls["modularity"] = f"""WITH {SQL_EDGES},
+e AS (SELECT src % 7 AS cs, dst % 7 AS cd FROM edges),
+m AS (SELECT COUNT(*)::DOUBLE AS m FROM e),
+internal AS (SELECT cs AS c, COUNT(*)::DOUBLE AS e_c FROM e WHERE cs = cd GROUP BY cs),
+vout AS (SELECT cs AS c, COUNT(*)::DOUBLE AS v FROM e GROUP BY cs),
+vin AS (SELECT cd AS c, COUNT(*)::DOUBLE AS v FROM e GROUP BY cd),
+full_v AS (
+  SELECT COALESCE(o.c, i.c) AS c, COALESCE(o.v, 0) AS vout, COALESCE(i.v, 0) AS vin
+  FROM vout o FULL JOIN vin i ON o.c = i.c
+)
+SELECT ROUND(SUM(COALESCE(x.e_c, 0) / m.m - (f.vout * f.vin) / (m.m * m.m)), 6)
+         AS modularity
+FROM full_v f LEFT JOIN internal x ON x.c = f.c, m"""
+
+    sqls["scalers"] = """WITH base AS (
+  SELECT c_custkey AS id, c_acctbal AS x FROM customer
+),
+st AS (
+  SELECT MIN(x) AS mn, MAX(x) AS mx, AVG(x) AS av,
+         SQRT(AVG(x * x) - AVG(x) * AVG(x)) AS sd,
+         SQRT(SUM(x * x)) AS l2 FROM base
+)
+SELECT id,
+       ROUND((x - st.mn) / (st.mx - st.mn), 6) AS minmax,
+       ROUND((x - st.av) / st.sd, 6) AS stdscore,
+       ROUND((x - st.av) / (st.mx - st.mn), 6) AS meanscale,
+       ROUND(x / st.l2, 6) AS l2norm
+FROM base, st"""
+
+    sqls["dedup_exact"] = f"""WITH {SQL_DOCS_DUP}
+SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+FROM docs_dup GROUP BY 1 HAVING COUNT(*) > 1"""
+
+    mh = ",\n".join(
+        f"       MIN(md5('{j}:' || word)) AS h{j}" for j in range(8)
+    )
+    sqls["minhash_signatures"] = f"""WITH words AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM documents
+)
+SELECT doc_id,
+{mh}
+FROM words GROUP BY doc_id"""
+
+    band_exprs = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"h{b * 4 + r}" for r in range(4))
+        band_exprs.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig")
+    bands_sql = "\nUNION ALL\n".join(band_exprs)
+    mh16 = ",\n".join(f"       MIN(md5('{j}:' || word)) AS h{j}" for j in range(16))
+    sqls["lsh_pairs"] = f"""WITH {SQL_DOCS_DUP},
+words AS (SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM docs_dup),
+sig AS (SELECT doc_id,
+{mh16}
+FROM words GROUP BY doc_id),
+banded AS ({bands_sql})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id < b.doc_id"""
+
+    # simhash: replay the exact bit arithmetic (md5 hex digit -> bit votes)
+    votes = []
+    for p in range(16):
+        digit = f"(strpos('0123456789abcdef', substring(h, {p // 4 + 1}, 1)) - 1)"
+        bit = f"(({digit} // {2 ** (3 - p % 4)}) % 2)"
+        votes.append(f"       SUM({bit} * 2 - 1) AS v{p}")
+    votes_sql = ",\n".join(votes)
+    sim_expr = " + ".join(
+        f"CASE WHEN v{p} >= 0 THEN {2 ** (16 - 1 - p)} ELSE 0 END" for p in range(16)
+    )
+    sqls["simhash"] = f"""WITH words AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM documents
+),
+hashed AS (SELECT doc_id, md5(word) AS h FROM words),
+tallied AS (SELECT doc_id,
+{votes_sql}
+FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM tallied"""
+
+    sqls["ngram_jaccard"] = f"""WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS ngram
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+  WHERE b.doc_id - a.doc_id <= 50
+  GROUP BY 1, 2
+)
+SELECT i.doc1, i.doc2,
+       ROUND(i.i::DOUBLE / (c1.n + c2.n - i.i), 6) AS jaccard
+FROM inter i JOIN counts c1 ON c1.doc_id = i.doc1
+             JOIN counts c2 ON c2.doc_id = i.doc2"""
+
+    sqls["token_count"] = f"""SELECT doc_id,
+       CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+    sqls["text_quality"] = f"""WITH base AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digit,
+         length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE AS space,
+         len({SQL_TOKENS})::DOUBLE AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n, n_tok,
+         alpha / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS alpha_ratio,
+         digit / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS digit_ratio,
+         CASE WHEN n_tok > 0 THEN (n - space) / n_tok ELSE 0.0 END AS mean_token_len
+  FROM base
+)
+SELECT doc_id, n AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(mean_token_len, 6) AS mean_token_len,
+       ROUND(CASE WHEN alpha_ratio > 0.6 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN digit_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN n_tok >= 10 THEN 0.1 ELSE 0.0 END, 2) AS quality_score
+FROM r"""
+
+    occ = {
+        "en": [" the ", " and ", " of "],
+        "de": [" der ", " und ", " nicht "],
+        "fr": [" les ", " une ", " est "],
+        "es": [" los ", " una ", " que "],
+    }
+    score_cols = []
+    for lang in sorted(occ):
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, '{w}', ''))) / {len(w)}.0"
+            for w in occ[lang]
+        )
+        score_cols.append(f"       ({terms}) AS score_{lang}")
+    scores_sql = ",\n".join(score_cols)
+    when_sql = "\n".join(
+        f"  WHEN score_{lang} = best AND best > 0 THEN '{lang}'" for lang in sorted(occ)
+    )
+    sqls["language_id"] = f"""WITH padded AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+),
+s AS (
+  SELECT doc_id,
+{scores_sql}
+  FROM padded
+),
+b AS (
+  SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS best FROM s
+)
+SELECT doc_id, CASE
+{when_sql}
+  ELSE 'und' END AS pred_lang
+FROM b"""
+
+    sqls["fingerprint"] = """SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents"""
+
+    sqls["ann_cosine_topk"] = """WITH ev AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+  FROM ev a JOIN ev b ON a.i = b.i
+  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(d.dot / (n1.nrm * n2.nrm), 6) AS cosine
+  FROM dots d JOIN norms n1 ON n1.vec_id = d.query_id
+              JOIN norms n2 ON n2.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5"""
+
+    sqls["ann_near_dup"] = """WITH ev AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.x * b.x) AS dot
+  FROM ev a JOIN ev b ON a.i = b.i
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.id1, d.id2, ROUND(d.dot / (n1.nrm * n2.nrm), 6) AS cosine
+FROM dots d JOIN norms n1 ON n1.vec_id = d.id1
+            JOIN norms n2 ON n2.vec_id = d.id2
+WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35"""
+
+    # labelprop (full), hits, ann_lsh_topk, corpus_pagerank: rows-only
+    # (iterative argmax fixpoint / per-phase global normalization / xxhash64
+    # bucketing / Arrow-UDF html parsing are not DuckDB-expressible).
+    return sqls

@@ -1,0 +1,209 @@
+"""Benchmark harness — headline link-graph queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric mirrors BASELINE.json: wall-time to PageRank convergence
+(tol 1e-6) plus edges-processed/sec per superstep on the link graph; the
+other queries cover WCC, label propagation, triangle counting, the full
+html->links->PageRank corpus pipeline, and the training-data pipeline ops
+(MinHash LSH dedup, LSH ANN).
+
+Scaling evidence (north rule: >=0.8 efficiency between N and 4N executors —
+sandbox proxy is local[8] vs local[32]):
+  python bench.py --scaling     # runs both in subprocesses, writes BENCH.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BENCH = 99991  # node space of the lineitem-derived benchmark graph
+
+
+def _sf_from_dir(d: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.0
+
+
+def build_session():
+    from graph_data_science_spark.session import get_spark
+
+    return get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.operators.graph import Aggregation, LinkGraph
+    from graph_data_science_spark.operators import pagerank as pr_ops
+    from graph_data_science_spark.operators import wcc as wcc_ops
+    from graph_data_science_spark.operators import labelprop as lp_ops
+    from graph_data_science_spark.operators import triangles as tri_ops
+    from graph_data_science_spark.operators import dedup as dedup_ops
+    from graph_data_science_spark.operators import ann as ann_ops
+    from graph_data_science_spark.sources.corpus import web_pages_from_documents
+    from graph_data_science_spark.sources.edges import build_link_graph
+
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- build the lineitem-derived link graph (sparse, web-like skew) -------
+    t0 = time.time()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        (F.col("l_orderkey") % N_BENCH).alias("src"),
+        (F.col("l_partkey") % N_BENCH).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    g = LinkGraph.from_edges(spark, e, aggregation=Aggregation.SINGLE).cache()
+    n_edges = g.relationship_count()
+    n_nodes = g.node_count()
+    times["graph_build"] = time.time() - t0
+    extra["n_edges"] = n_edges
+    extra["n_nodes"] = n_nodes
+
+    # -- q1: PageRank to convergence @ tol 1e-6 (the headline) --------------
+    t0 = time.time()
+    res = pr_ops.page_rank(
+        g, pr_ops.PageRankConfig(tolerance=1e-6, max_iterations=100)
+    )
+    res.scores.agg(F.sum("score")).collect()
+    dt = time.time() - t0
+    times["q1_pagerank_conv"] = dt
+    extra["pagerank_iters"] = res.ran_iterations
+    extra["pagerank_converged"] = bool(res.did_converge)
+    extra["edges_per_sec_per_superstep"] = (
+        n_edges * max(res.ran_iterations, 1) / dt if dt > 0 else 0.0
+    )
+
+    # -- q2: WCC to convergence ---------------------------------------------
+    t0 = time.time()
+    wres = wcc_ops.wcc(g)
+    wres.components.agg(F.countDistinct("comp")).collect()
+    times["q2_wcc"] = time.time() - t0
+    extra["wcc_rounds"] = wres.rounds
+
+    # -- q3: label propagation (10 sync iterations) -------------------------
+    t0 = time.time()
+    lres = lp_ops.label_propagation(
+        g, lp_ops.LabelPropagationConfig(max_iterations=10)
+    )
+    lres.labels.agg(F.countDistinct("label")).collect()
+    times["q3_labelprop"] = time.time() - t0
+
+    # -- q4: triangle count --------------------------------------------------
+    t0 = time.time()
+    tres = tri_ops.triangle_count(g)
+    times["q4_triangles"] = time.time() - t0
+    extra["triangles"] = tres.global_triangles
+
+    # -- q5: end-to-end corpus pipeline (html -> links -> PageRank) ----------
+    t0 = time.time()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = web_pages_from_documents(docs)
+    cg = build_link_graph(pages)
+    cres = pr_ops.page_rank(
+        cg, pr_ops.PageRankConfig(tolerance=1e-6, max_iterations=40)
+    )
+    cres.scores.agg(F.sum("score")).collect()
+    times["q5_corpus_pipeline"] = time.time() - t0
+
+    # -- q6: MinHash LSH dedup candidates over documents ---------------------
+    t0 = time.time()
+    dedup_ops.lsh_candidate_pairs(docs, bands=4, rows_per_band=4).count()
+    times["q6_minhash_lsh"] = time.time() - t0
+
+    # -- q7: LSH ANN top-k over embeddings -----------------------------------
+    t0 = time.time()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann_ops.lsh_ann_topk(emb, k=5).count()
+    times["q7_lsh_ann"] = time.time() - t0
+
+    g.nodes.unpersist()
+    g.edges.unpersist()
+    return times, extra
+
+
+def run_once() -> dict:
+    spark = build_session()
+    try:
+        times, extra = bench_queries(spark, SF_DIR)
+    finally:
+        spark.stop()
+    total = sum(times.values())
+    return {
+        "metric": "wall_s_total",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        **{k: (round(v, 2) if isinstance(v, float) else v) for k, v in extra.items()},
+    }
+
+
+def run_scaling() -> None:
+    """Same job at local[8] and local[32]; report throughput at both plus
+    scaling efficiency (sandbox proxy for the N vs 4N executor criterion)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {line}")
+
+    t8 = results[8]["queries"]["q1_pagerank_conv"]
+    t32 = results[32]["queries"]["q1_pagerank_conv"]
+    thr8 = results[8]["edges_per_sec_per_superstep"]
+    thr32 = results[32]["edges_per_sec_per_superstep"]
+    eff = (thr32 / thr8) / 4.0 if thr8 else 0.0
+    tot8, tot32 = results[8]["value"], results[32]["value"]
+    eff_total = (tot8 / tot32) / 4.0 if tot32 else 0.0
+    summary = {
+        "pagerank_wall_s_local8": t8,
+        "pagerank_wall_s_local32": t32,
+        "edges_per_sec_per_superstep_local8": thr8,
+        "edges_per_sec_per_superstep_local32": thr32,
+        "scaling_efficiency_pagerank": round(eff, 3),
+        "total_wall_s_local8": tot8,
+        "total_wall_s_local32": tot32,
+        "scaling_efficiency_total": round(eff_total, 3),
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
+        f.write("# BENCH — scaling evidence (local[8] vs local[32])\n\n")
+        f.write(f"Input: `{SF_DIR}` — same job at two parallelism levels\n")
+        f.write("(sandbox proxy for the north rule's N vs 4N executor clusters).\n\n")
+        f.write("| metric | local[8] | local[32] | efficiency (per 4x cores) |\n")
+        f.write("|---|---|---|---|\n")
+        f.write(
+            f"| PageRank wall-s to convergence (tol 1e-6) | {t8} | {t32} | "
+            f"{round(eff, 3)} |\n"
+        )
+        f.write(
+            f"| edges/sec per superstep | {round(thr8):,} | {round(thr32):,} | |\n"
+        )
+        f.write(f"| total bench wall-s | {tot8} | {tot32} | {round(eff_total, 3)} |\n\n")
+        f.write("Full per-level results:\n\n```json\n")
+        for cpus, r in results.items():
+            f.write(json.dumps({"cpus": cpus, **r}) + "\n")
+        f.write("```\n")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_once()))

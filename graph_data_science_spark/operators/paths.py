@@ -44,6 +44,7 @@ def bfs(
 ) -> DataFrame:
     """id, hops for every node reachable from source (source included, 0)."""
     spark = graph.nodes.sparkSession
+    ckpt = SuperstepCheckpointer(spark, None)
     edges = graph.oriented_edges(orientation).select("src", "dst").distinct().cache()
     visited = spark.createDataFrame([(int(source), 0)], "id long, hops int")
     frontier = visited
@@ -59,10 +60,12 @@ def bfs(
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("hops", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        # parquet-backed checkpoint: truncates lineage AND resets plan stats
+        # (localCheckpoint preserves inflated sizeInBytes — see plans/checkpoint.py)
+        nxt = ckpt.checkpoint(nxt, depth, name="frontier")
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = ckpt.checkpoint(visited.unionByName(nxt), depth, name="visited")
         frontier = nxt
     edges.unpersist()
     return visited

@@ -8,21 +8,35 @@ a per-superstep materialization that truncates lineage and — when a durable
 path is configured — makes any superstep resumable (north rule: "resumable
 from checkpoint with per-partition lineage + metrics").
 
-Two modes:
-- ephemeral (default): ``df.localCheckpoint(eager=True)`` — executor-memory
-  snapshot, zero I/O, used for tests/bench.
+Two modes, BOTH parquet write+read (never ``localCheckpoint``):
+- ephemeral (default): state goes to a session temp dir; old supersteps are
+  garbage-collected as iteration advances, the dir dies with the process.
 - durable: write state to ``<path>/state/superstep=N/`` (parquet here; the
   table format is pluggable — on a cluster this is an Iceberg table and the
   atomic snapshot commit is the transactional analog of the reference's
-  write-back tx, SURVEY.md §3.3) and read back.  Metrics rows (one per
+  write-back tx, SURVEY.md §3.3), kept for resume.  Metrics rows (one per
   superstep, with per-partition row counts = the lineage record) append to
   ``<path>/metrics``.
+
+Why not ``localCheckpoint(eager=True)``: it truncates the plan and the RDD
+lineage, but the resulting LogicalRDD *preserves the upstream sizeInBytes
+statistic*.  Catalyst's fallback join estimate is the PRODUCT of child sizes
+(SizeInBytesOnlyStatsPlanVisitor.visitJoin -> default), so an iterative
+join loop squares sizeInBytes every superstep — after ~17 supersteps the
+BigInteger arithmetic inside stats estimation dominates the round (measured:
+2-3x wall-time growth per superstep, sizeInBytes ~1e400).  A parquet
+round-trip resets stats to the actual file size and keeps every superstep
+O(1) planning cost — and is the Iceberg-checkpoint pattern the north rule
+wants anyway.
 """
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
+import tempfile
 import time
 from typing import Any
 
@@ -31,20 +45,38 @@ from pyspark.sql import functions as F
 
 
 class SuperstepCheckpointer:
+    # how many past supersteps to keep on disk in ephemeral mode (the
+    # in-flight superstep may still lazily read its predecessor)
+    EPHEMERAL_KEEP = 2
+
     def __init__(self, spark: SparkSession, path: str | None = None, run_id: str = "run"):
         self.spark = spark
         self.path = path
         self.run_id = run_id
         self._metrics: list[dict[str, Any]] = []
-        if path:
+        self._ephemeral = path is None
+        if self._ephemeral:
+            self._tmp = tempfile.mkdtemp(prefix="gds-superstep-")
+            self._history: list[str] = []
+        else:
             os.makedirs(os.path.join(path, "state"), exist_ok=True)
             os.makedirs(os.path.join(path, "metrics"), exist_ok=True)
 
+        if self._ephemeral:
+            # NOT __del__: result DataFrames returned to callers lazily read
+            # the final superstep's parquet, which must outlive this object.
+            atexit.register(shutil.rmtree, self._tmp, ignore_errors=True)
+
     # -- state ---------------------------------------------------------------
     def checkpoint(self, df: DataFrame, superstep: int, name: str = "state") -> DataFrame:
-        """Materialize superstep state, truncating lineage."""
-        if self.path is None:
-            return df.localCheckpoint(eager=True)
+        """Materialize superstep state, truncating lineage AND plan stats."""
+        if self._ephemeral:
+            p = os.path.join(self._tmp, f"{name}_superstep={superstep:05d}")
+            df.write.mode("overwrite").parquet(p)
+            self._history.append(p)
+            while len(self._history) > self.EPHEMERAL_KEEP:
+                shutil.rmtree(self._history.pop(0), ignore_errors=True)
+            return self.spark.read.parquet(p)
         p = self._state_path(superstep, name)
         df.write.mode("overwrite").parquet(p)
         return self.spark.read.parquet(p)

@@ -153,7 +153,9 @@ def q_degree_in_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     g = _dense_graph(spark, sf_dir)
-    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    cfg = pr_ops.PageRankConfig(
+        tolerance=0.0, max_iterations=PR_ITERS + 1, checkpoint_every=5
+    )
     res = pr_ops.page_rank(g, cfg)
     return res.scores.select("id", F.round("score", 6).alias("score"))
 
@@ -161,7 +163,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     g = _dense_weighted_graph(spark, sf_dir)
-    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=11, weighted=True)
+    cfg = pr_ops.PageRankConfig(
+        tolerance=0.0, max_iterations=11, weighted=True, checkpoint_every=5
+    )
     res = pr_ops.page_rank(g, cfg)
     return res.scores.select("id", F.round("score", 6).alias("score"))
 
@@ -169,7 +173,9 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_articlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     g = _dense_graph(spark, sf_dir)
-    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    cfg = pr_ops.PageRankConfig(
+        tolerance=0.0, max_iterations=PR_ITERS + 1, checkpoint_every=5
+    )
     res = pr_ops.article_rank(g, cfg)
     return res.scores.select("id", F.round("score", 6).alias("score"))
 
@@ -415,6 +421,103 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-1 coloring assignment — rows-only (palette is schedule-defined)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.coloring import k1coloring
+
+    g = _sparse_graph(spark, sf_dir)
+    return k1coloring(g).colors.select("id", "color")
+
+
+def q_k1coloring_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coloring CONTRACT (no monochromatic edge) as a checkable row:
+    conflicts must be 0 — the oracle asserts the invariant."""
+    _tune(spark)
+    from graph_data_science_spark.operators.coloring import k1coloring, validate_coloring
+
+    g = _sparse_graph(spark, sf_dir)
+    res = k1coloring(g)
+    n_bad = validate_coloring(g, res.colors)
+    return spark.createDataFrame([(int(n_bad),)], "conflicts long")
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain communities — rows-only (hierarchical local-moving fixpoint)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.louvain import louvain, LouvainConfig
+
+    g = _sparse_graph(spark, sf_dir)
+    res = louvain(g, LouvainConfig(max_levels=3, max_inner_iterations=5))
+    return res.communities.select("id", "community")
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans cluster assignment over embeddings — rows-only."""
+    _tune(spark)
+    from graph_data_science_spark.operators.kmeans import kmeans, KmeansConfig
+
+    emb = _embeddings(spark, sf_dir)
+    res = kmeans(emb, KmeansConfig(k=8, max_iterations=5))
+    return res.assignments.select("id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP embeddings — rows-only (id, first 4 dims rounded)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.fastrp import fastrp, FastRPConfig
+
+    g = _sparse_graph(spark, sf_dir)
+    res = fastrp(g, FastRPConfig(embedding_dimension=32))
+    return res.embeddings.select(
+        "id",
+        F.round(F.element_at("embedding", 1), 6).alias("e0"),
+        F.round(F.element_at("embedding", 2), 6).alias("e1"),
+    )
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random walks — rows-only (xxhash64 not replayable in DuckDB)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.walks import RandomWalkConfig, random_walks
+
+    g = _sparse_graph(spark, sf_dir)
+    w = random_walks(g, RandomWalkConfig(walks_per_node=1, walk_length=4))
+    return w.select("walk_id", "start", F.size("path").cast("long").alias("path_len"))
+
+
+def q_split_test_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket holdout split — test positives."""
+    from graph_data_science_spark.operators.walks import SplitConfig, split_relationships
+
+    g = _sparse_graph(spark, sf_dir)
+    out = split_relationships(g, SplitConfig(holdout_fraction=0.2))
+    return out["test_pos"].select("src", "dst")
+
+
+def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.operators.walks import SplitConfig, split_relationships
+
+    g = _sparse_graph(spark, sf_dir)
+    out = split_relationships(g, SplitConfig(holdout_fraction=0.2))
+    return out["train"].select("src", "dst")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synth media -> mapInPandas feature extraction
+    (deterministic stub codec) — rows-only."""
+    from graph_data_science_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=200)
+    feats = extract_features(media, dim=8, fake=True)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
 def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end: documents -> synthetic web_pages(html) -> Arrow-UDF
     link extraction -> id map -> edge build -> PageRank (rows-only: the html
@@ -475,6 +578,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_near_dup": q_ann_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "k1coloring": q_k1coloring,
+        "k1coloring_valid": q_k1coloring_valid,
+        "louvain": q_louvain,
+        "kmeans": q_kmeans,
+        "fastrp": q_fastrp,
+        "random_walks": q_random_walks,
+        "split_test_pos": q_split_test_pos,
+        "split_train": q_split_train,
+        "multimodal_features": q_multimodal_features,
         "corpus_pagerank": q_corpus_pagerank,
     }
 
@@ -960,7 +1072,28 @@ FROM dots d JOIN norms n1 ON n1.vec_id = d.id1
             JOIN norms n2 ON n2.vec_id = d.id2
 WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35"""
 
-    # labelprop (full), hits, ann_lsh_topk, corpus_pagerank: rows-only
+    sqls["k1coloring_valid"] = "SELECT CAST(0 AS BIGINT) AS conflicts"
+
+    # md5-bucket split: replay Spark's conv(substr(md5('src:dst'),1,6),16,10)
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    cut = int(0.2 * 16**6)
+    split_pre = f"""WITH {SQL_EDGES2},
+hashed AS (
+  SELECT src, dst, md5(src::VARCHAR || ':' || dst::VARCHAR) AS h FROM edges2
+),
+bucketed AS (SELECT src, dst, {hexval} AS bucket FROM hashed)"""
+    sqls["split_test_pos"] = (
+        split_pre + f"\nSELECT src, dst FROM bucketed WHERE bucket < {cut}"
+    )
+    sqls["split_train"] = (
+        split_pre + f"\nSELECT src, dst FROM bucketed WHERE bucket >= {cut}"
+    )
+
+    # labelprop (full), hits, ann_lsh_topk, corpus_pagerank, k1coloring,
+    # louvain, kmeans, fastrp, random_walks, multimodal_features: rows-only
     # (iterative argmax fixpoint / per-phase global normalization / xxhash64
     # bucketing / Arrow-UDF html parsing are not DuckDB-expressible).
     return sqls

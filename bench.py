@@ -24,7 +24,11 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_BENCH = 99991  # node space of the lineitem-derived benchmark graph
+N_BENCH = 99991  # node space of the lineitem-derived benchmark graph (per copy)
+# scale-up factor for the scaling evidence: the graph is replicated into
+# REPLICATE disjoint id-shifted copies so supersteps are compute-bound
+# rather than task-overhead-bound (same shuffle volume per copy)
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "1"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -63,6 +67,12 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         (F.col("l_orderkey") % N_BENCH).alias("src"),
         (F.col("l_partkey") % N_BENCH).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
+    if REPLICATE > 1:
+        copies = spark.range(REPLICATE).select(F.col("id").alias("copy"))
+        e = e.crossJoin(copies).select(
+            (F.col("src") + F.col("copy") * N_BENCH).alias("src"),
+            (F.col("dst") + F.col("copy") * N_BENCH).alias("dst"),
+        )
     g = LinkGraph.from_edges(spark, e, aggregation=Aggregation.SINGLE).cache()
     n_edges = g.relationship_count()
     n_nodes = g.node_count()
@@ -73,7 +83,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     # -- q1: PageRank to convergence @ tol 1e-6 (the headline) --------------
     t0 = time.time()
     res = pr_ops.page_rank(
-        g, pr_ops.PageRankConfig(tolerance=1e-6, max_iterations=100)
+        g,
+        pr_ops.PageRankConfig(
+            tolerance=1e-6, max_iterations=100, checkpoint_every=4
+        ),
     )
     res.scores.agg(F.sum("score")).collect()
     dt = time.time() - t0
@@ -146,6 +159,7 @@ def run_once() -> dict:
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
+        "replicate": REPLICATE,
         **{k: (round(v, 2) if isinstance(v, float) else v) for k, v in extra.items()},
     }
 
@@ -154,8 +168,14 @@ def run_scaling() -> None:
     """Same job at local[8] and local[32]; report throughput at both plus
     scaling efficiency (sandbox proxy for the N vs 4N executor criterion)."""
     results = {}
+    replicate = os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8")
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=SF_DIR,
+            SPARK_GRAFT_BENCH_REPLICATE=replicate,
+        )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
             timeout=3600,

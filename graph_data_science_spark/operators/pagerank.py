@@ -129,8 +129,16 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
     if cfg.max_iterations <= 0:
         return CentralityResult(state.select("id", F.col("rank").alias("score")), 0, False)
 
-    edges_processed_total = 0
     t0 = time.time()
+    # checkpoint cadence: materializing every K supersteps lets Spark pipeline
+    # K join+agg rounds into one job (no disk/actions in between).  K is
+    # bounded by Catalyst's stats estimation: each superstep's joins SQUARE
+    # the sizeInBytes estimate (see plans/checkpoint.py), so the BigInt grows
+    # to ~63*4^K bits between checkpoints — fine for K <= 8, pathological
+    # beyond ~12.  Convergence is only *observed* at checkpoint boundaries;
+    # with checkpoint_every=1 (default) this reproduces GDS's per-iteration
+    # convergence reporting exactly.
+    every = max(1, int(cfg.checkpoint_every))
     for t in range(1, cfg.max_iterations):
         # superstep t receives what superstep t-1 sent; on the initial
         # superstep every node sends regardless of tolerance
@@ -151,8 +159,15 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
                 new_delta.alias("delta"),
             )
         )
+        if t % every != 0 and t != cfg.max_iterations - 1:
+            continue
         state = ckpt.checkpoint(state, t)
-        active = state.where(F.col("delta") > cfg.tolerance).count()
+        # tolerance 0 can never converge early (deltas stay positive on any
+        # cyclic graph) — skip the count action entirely in that mode
+        if cfg.tolerance > 0.0:
+            active = state.where(F.col("delta") > cfg.tolerance).count()
+        else:
+            active = -1
         ckpt.log(
             t,
             algorithm="pagerank" if denominator == "degree" else "articlerank",

@@ -45,9 +45,11 @@ from pyspark.sql import functions as F
 
 
 class SuperstepCheckpointer:
-    # how many past supersteps to keep on disk in ephemeral mode (the
-    # in-flight superstep may still lazily read its predecessor)
-    EPHEMERAL_KEEP = 2
+    # how many past supersteps to keep on disk PER STATE NAME in ephemeral
+    # mode (the in-flight superstep may still lazily read its predecessor;
+    # eviction is per-name because algorithms interleave several state
+    # streams — e.g. Louvain's per-level state / assignment / coarse edges)
+    EPHEMERAL_KEEP = 3
 
     def __init__(self, spark: SparkSession, path: str | None = None, run_id: str = "run"):
         self.spark = spark
@@ -57,7 +59,7 @@ class SuperstepCheckpointer:
         self._ephemeral = path is None
         if self._ephemeral:
             self._tmp = tempfile.mkdtemp(prefix="gds-superstep-")
-            self._history: list[str] = []
+            self._history: dict[str, list[str]] = {}
         else:
             os.makedirs(os.path.join(path, "state"), exist_ok=True)
             os.makedirs(os.path.join(path, "metrics"), exist_ok=True)
@@ -73,9 +75,10 @@ class SuperstepCheckpointer:
         if self._ephemeral:
             p = os.path.join(self._tmp, f"{name}_superstep={superstep:05d}")
             df.write.mode("overwrite").parquet(p)
-            self._history.append(p)
-            while len(self._history) > self.EPHEMERAL_KEEP:
-                shutil.rmtree(self._history.pop(0), ignore_errors=True)
+            hist = self._history.setdefault(name, [])
+            hist.append(p)
+            while len(hist) > self.EPHEMERAL_KEEP:
+                shutil.rmtree(hist.pop(0), ignore_errors=True)
             return self.spark.read.parquet(p)
         p = self._state_path(superstep, name)
         df.write.mode("overwrite").parquet(p)

@@ -153,9 +153,7 @@ def q_degree_in_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     g = _dense_graph(spark, sf_dir)
-    cfg = pr_ops.PageRankConfig(
-        tolerance=0.0, max_iterations=PR_ITERS + 1, checkpoint_every=5
-    )
+    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
     res = pr_ops.page_rank(g, cfg)
     return res.scores.select("id", F.round("score", 6).alias("score"))
 
@@ -163,9 +161,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     g = _dense_weighted_graph(spark, sf_dir)
-    cfg = pr_ops.PageRankConfig(
-        tolerance=0.0, max_iterations=11, weighted=True, checkpoint_every=5
-    )
+    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=11, weighted=True)
     res = pr_ops.page_rank(g, cfg)
     return res.scores.select("id", F.round("score", 6).alias("score"))
 
@@ -173,9 +169,7 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_articlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     g = _dense_graph(spark, sf_dir)
-    cfg = pr_ops.PageRankConfig(
-        tolerance=0.0, max_iterations=PR_ITERS + 1, checkpoint_every=5
-    )
+    cfg = pr_ops.PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
     res = pr_ops.article_rank(g, cfg)
     return res.scores.select("id", F.round("score", 6).alias("score"))
 

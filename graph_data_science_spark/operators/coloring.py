@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+from graph_data_science_spark.session import no_aqe
 
 
 @dataclass
@@ -78,36 +79,37 @@ def k1coloring(graph: LinkGraph, cfg: Optional[K1ColoringConfig] = None) -> K1Co
 
     ran, converged = cfg.max_iterations, False
     t0 = time.time()
-    for t in range(1, cfg.max_iterations + 1):
-        c_src = state.select(F.col("id").alias("src"), F.col("color").alias("c_src"))
-        c_dst = state.select(F.col("id").alias("dst"), F.col("color").alias("c_dst"))
-        colored_edges = sym.join(c_src, "src").join(c_dst, "dst")
-        # conflict rule: on a monochromatic edge only the HIGHER id recolors
-        conflicted = (
-            colored_edges.where(
-                (F.col("c_src") == F.col("c_dst")) & (F.col("src") > F.col("dst"))
+    with no_aqe(spark):
+        for t in range(1, cfg.max_iterations + 1):
+            c_src = state.select(F.col("id").alias("src"), F.col("color").alias("c_src"))
+            c_dst = state.select(F.col("id").alias("dst"), F.col("color").alias("c_dst"))
+            colored_edges = sym.join(c_src, "src").join(c_dst, "dst")
+            # conflict rule: on a monochromatic edge only the HIGHER id recolors
+            conflicted = (
+                colored_edges.where(
+                    (F.col("c_src") == F.col("c_dst")) & (F.col("src") > F.col("dst"))
+                )
+                .select(F.col("src").alias("id"))
+                .distinct()
             )
-            .select(F.col("src").alias("id"))
-            .distinct()
-        )
-        n_conf = conflicted.count()
-        ckpt.log(t, algorithm="k1coloring", conflicts=n_conf, wall_s=time.time() - t0)
-        if n_conf == 0:
-            ran, converged = t, True
-            break
-        # conflicted nodes gather ALL neighbor colors and take the min free one
-        nbr_colors = (
-            sym.join(conflicted, sym["src"] == conflicted["id"], "left_semi")
-            .join(c_dst, "dst")
-            .groupBy("src")
-            .agg(F.collect_set("c_dst").alias("ncolors"))
-            .select(F.col("src").alias("id"), _min_free_color(F.col("ncolors")).alias("new_color"))
-        )
-        state = (
-            state.join(nbr_colors, "id", "left")
-            .select("id", F.coalesce("new_color", "color").alias("color"))
-        )
-        state = ckpt.checkpoint(state, t)
+            n_conf = conflicted.count()
+            ckpt.log(t, algorithm="k1coloring", conflicts=n_conf, wall_s=time.time() - t0)
+            if n_conf == 0:
+                ran, converged = t, True
+                break
+            # conflicted nodes gather ALL neighbor colors and take the min free one
+            nbr_colors = (
+                sym.join(conflicted, sym["src"] == conflicted["id"], "left_semi")
+                .join(c_dst, "dst")
+                .groupBy("src")
+                .agg(F.collect_set("c_dst").alias("ncolors"))
+                .select(F.col("src").alias("id"), _min_free_color(F.col("ncolors")).alias("new_color"))
+            )
+            state = (
+                state.join(nbr_colors, "id", "left")
+                .select("id", F.coalesce("new_color", "color").alias("color"))
+            )
+            state = ckpt.checkpoint(state, t)
 
     sym.unpersist()
     return K1ColoringResult(state.select("id", "color"), ran, converged, ckpt.metrics)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+from graph_data_science_spark.session import no_aqe
 
 
 @dataclass
@@ -46,48 +47,49 @@ def hits(graph: LinkGraph, cfg: Optional[HitsConfig] = None) -> HitsResult:
 
     ran, converged = cfg.hits_iterations, False
     t0 = time.time()
-    for t in range(1, cfg.hits_iterations + 1):
-        # auth phase: auth(v) = Σ hub(u) for u->v, then L2 normalize
-        hubs = state.select(F.col("id").alias("src"), "hub")
-        auth_raw = (
-            edges.join(hubs, "src").groupBy("dst").agg(F.sum("hub").alias("auth_raw"))
-        )
-        s1 = state.join(auth_raw, state["id"] == auth_raw["dst"], "left").select(
-            state["id"], F.coalesce("auth_raw", F.lit(0.0)).alias("auth_new"), "auth", "hub"
-        )
-        s1 = ckpt.checkpoint(s1, t, name="auth_phase")
-        norm_a = s1.agg(F.sqrt(F.sum(F.col("auth_new") ** 2))).collect()[0][0] or 1.0
-        s1 = s1.select(
-            "id",
-            (F.col("auth_new") / F.lit(norm_a)).alias("auth_n"),
-            F.col("auth").alias("auth_prev"),
-            "hub",
-        )
+    with no_aqe(spark):
+        for t in range(1, cfg.hits_iterations + 1):
+            # auth phase: auth(v) = Σ hub(u) for u->v, then L2 normalize
+            hubs = state.select(F.col("id").alias("src"), "hub")
+            auth_raw = (
+                edges.join(hubs, "src").groupBy("dst").agg(F.sum("hub").alias("auth_raw"))
+            )
+            s1 = state.join(auth_raw, state["id"] == auth_raw["dst"], "left").select(
+                state["id"], F.coalesce("auth_raw", F.lit(0.0)).alias("auth_new"), "auth", "hub"
+            )
+            s1 = ckpt.checkpoint(s1, t, name="auth_phase")
+            norm_a = s1.agg(F.sqrt(F.sum(F.col("auth_new") ** 2))).collect()[0][0] or 1.0
+            s1 = s1.select(
+                "id",
+                (F.col("auth_new") / F.lit(norm_a)).alias("auth_n"),
+                F.col("auth").alias("auth_prev"),
+                "hub",
+            )
 
-        # hub phase: hub(u) = Σ auth(v) for u->v, then L2 normalize
-        auths = s1.select(F.col("id").alias("dst"), F.col("auth_n"))
-        hub_raw = (
-            edges.join(auths, "dst").groupBy("src").agg(F.sum("auth_n").alias("hub_raw"))
-        )
-        s2 = s1.join(hub_raw, s1["id"] == hub_raw["src"], "left").select(
-            s1["id"],
-            F.col("auth_n").alias("auth"),
-            F.col("auth_prev"),
-            F.coalesce("hub_raw", F.lit(0.0)).alias("hub_new"),
-        )
-        s2 = ckpt.checkpoint(s2, t, name="hub_phase")
-        norm_h = s2.agg(F.sqrt(F.sum(F.col("hub_new") ** 2))).collect()[0][0] or 1.0
-        state = s2.select(
-            "id", "auth", "auth_prev", (F.col("hub_new") / F.lit(norm_h)).alias("hub")
-        )
-        state = ckpt.checkpoint(state, t)
+            # hub phase: hub(u) = Σ auth(v) for u->v, then L2 normalize
+            auths = s1.select(F.col("id").alias("dst"), F.col("auth_n"))
+            hub_raw = (
+                edges.join(auths, "dst").groupBy("src").agg(F.sum("auth_n").alias("hub_raw"))
+            )
+            s2 = s1.join(hub_raw, s1["id"] == hub_raw["src"], "left").select(
+                s1["id"],
+                F.col("auth_n").alias("auth"),
+                F.col("auth_prev"),
+                F.coalesce("hub_raw", F.lit(0.0)).alias("hub_new"),
+            )
+            s2 = ckpt.checkpoint(s2, t, name="hub_phase")
+            norm_h = s2.agg(F.sqrt(F.sum(F.col("hub_new") ** 2))).collect()[0][0] or 1.0
+            state = s2.select(
+                "id", "auth", "auth_prev", (F.col("hub_new") / F.lit(norm_h)).alias("hub")
+            )
+            state = ckpt.checkpoint(state, t)
 
-        delta = state.agg(F.sqrt(F.sum((F.col("auth") - F.col("auth_prev")) ** 2))).collect()[
-            0
-        ][0] or 0.0
-        ckpt.log(t, algorithm="hits", l2_delta=delta, wall_s=time.time() - t0)
-        if delta <= cfg.tolerance:
-            ran, converged = t, True
-            break
+            delta = state.agg(F.sqrt(F.sum((F.col("auth") - F.col("auth_prev")) ** 2))).collect()[
+                0
+            ][0] or 0.0
+            ckpt.log(t, algorithm="hits", l2_delta=delta, wall_s=time.time() - t0)
+            if delta <= cfg.tolerance:
+                ran, converged = t, True
+                break
 
     return HitsResult(state.select("id", "auth", "hub"), ran, converged, ckpt.metrics)

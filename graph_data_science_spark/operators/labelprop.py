@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+from graph_data_science_spark.session import no_aqe
 
 
 @dataclass
@@ -96,30 +97,38 @@ def label_propagation(
 
     ran, converged = cfg.max_iterations, False
     t0 = time.time()
-    for t in range(1, cfg.max_iterations + 1):
-        nbr_labels = state.select(F.col("id").alias("dst"), F.col("label").alias("nbr_label"))
-        votes = (
-            edges.join(nbr_labels, "dst")
-            .groupBy("src", "nbr_label")
-            .agg(F.sum("vote").alias("w"))
-        )
-        top = votes.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("src").orderBy(F.desc("w"), F.asc("nbr_label"))
-            ),
-        ).where("rn = 1").select(F.col("src").alias("id"), F.col("nbr_label").alias("new_label"))
-        merged = state.join(top, "id", "left").select(
-            "id",
-            F.coalesce("new_label", "label").alias("label"),
-            (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
-        )
-        state = ckpt.checkpoint(merged.select("id", "label"), t)
-        changed = merged.where("changed").count()
-        ckpt.log(t, algorithm="labelprop", changed=changed, wall_s=time.time() - t0)
-        if changed == 0:
-            ran, converged = t, True
-            break
+    with no_aqe(spark):
+        for t in range(1, cfg.max_iterations + 1):
+            nbr_labels = state.select(F.col("id").alias("dst"), F.col("label").alias("nbr_label"))
+            votes = (
+                edges.join(nbr_labels, "dst")
+                .groupBy("src", "nbr_label")
+                .agg(F.sum("vote").alias("w"))
+            )
+            top = votes.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("src").orderBy(F.desc("w"), F.asc("nbr_label"))
+                ),
+            ).where("rn = 1").select(F.col("src").alias("id"), F.col("nbr_label").alias("new_label"))
+            merged = state.join(top, "id", "left").select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
+            )
+            # changed-count rides the checkpoint write (observe) — no extra job
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = merged.observe(
+                obs, F.sum(F.col("changed").cast("long")).alias("c")
+            ).select("id", "label")
+            state = ckpt.checkpoint(observed, t)
+            changed = int(obs.get["c"] or 0)
+            ckpt.log(t, algorithm="labelprop", changed=changed, wall_s=time.time() - t0)
+            if changed == 0:
+                ran, converged = t, True
+                break
 
     return LabelPropagationResult(state.select("id", "label"), ran, converged, ckpt.metrics)
 

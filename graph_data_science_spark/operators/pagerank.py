@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+from graph_data_science_spark.session import no_aqe
 
 
 @dataclass
@@ -130,53 +131,80 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
         return CentralityResult(state.select("id", F.col("rank").alias("score")), 0, False)
 
     t0 = time.time()
-    # checkpoint cadence: materializing every K supersteps lets Spark pipeline
-    # K join+agg rounds into one job (no disk/actions in between).  K is
-    # bounded by Catalyst's stats estimation: each superstep's joins SQUARE
-    # the sizeInBytes estimate (see plans/checkpoint.py), so the BigInt grows
-    # to ~63*4^K bits between checkpoints — fine for K <= 8, pathological
-    # beyond ~12.  Convergence is only *observed* at checkpoint boundaries;
-    # with checkpoint_every=1 (default) this reproduces GDS's per-iteration
-    # convergence reporting exactly.
+    # Superstep window (checkpoint_every = K): K supersteps run as ONE job.
+    # The message stream is a *delta-only* chain — each step references only
+    # the previous step's (id, delta) rows, once — so the window's plan grows
+    # linearly, and nodes that stop sending drop out of the stream entirely
+    # (active-set pruning in data volume, not just a filter).  At the window
+    # boundary rank is rebuilt by UNION of the carried rank rows with every
+    # window delta + one hash aggregation (stats ADD under union, so no
+    # sizeInBytes blowup), and rank+final-delta are materialized in a single
+    # checkpoint write whose observe() metric doubles as the convergence
+    # count — one action, one barrier, one serial driver round per K
+    # supersteps.  With K=1 this reproduces GDS's per-iteration convergence
+    # reporting exactly.
     every = max(1, int(cfg.checkpoint_every))
-    for t in range(1, cfg.max_iterations):
-        # superstep t receives what superstep t-1 sent; on the initial
-        # superstep every node sends regardless of tolerance
-        # (PageRankComputation.java:90 `delta > tolerance || isInitialSuperstep`).
-        send_gate = F.col("delta") > (F.lit(0.0) if t == 1 else F.lit(cfg.tolerance))
-        senders = state.where(send_gate).select("id", "delta")
-        msgs = (
-            senders.join(shares, senders["id"] == shares["src"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("delta") * F.col("share")).alias("msg"))
-        )
-        new_delta = F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0))
-        state = (
-            state.join(msgs, state["id"] == msgs["dst"], "left")
-            .select(
-                state["id"],
-                (F.col("rank") + new_delta).alias("rank"),
-                new_delta.alias("delta"),
+    with no_aqe(spark):
+        delta = None  # in-window chained (id, delta) stream; None = at boundary
+        window: list = []
+        for t in range(1, cfg.max_iterations):
+            # superstep t receives what superstep t-1 sent; on the initial
+            # superstep every node sends regardless of tolerance
+            # (PageRankComputation.java:90 `delta > tolerance || isInitialSuperstep`).
+            gate = F.lit(0.0) if t == 1 else F.lit(cfg.tolerance)
+            prev = state.select("id", "delta") if delta is None else delta
+            # SHUFFLE_HASH: broadcasting per-superstep node state is a serial
+            # driver bottleneck (and impossible at 10^12 nodes); sort-merge
+            # would re-sort the edge stream every superstep.
+            senders = prev.where(F.col("delta") > gate).hint("shuffle_hash")
+            delta = (
+                senders.join(shares, senders["id"] == shares["src"])
+                .groupBy("dst")
+                .agg((F.lit(d) * F.sum(F.col("delta") * F.col("share"))).alias("delta"))
+                .select(F.col("dst").alias("id"), "delta")
             )
-        )
-        if t % every != 0 and t != cfg.max_iterations - 1:
-            continue
-        state = ckpt.checkpoint(state, t)
-        # tolerance 0 can never converge early (deltas stay positive on any
-        # cyclic graph) — skip the count action entirely in that mode
-        if cfg.tolerance > 0.0:
-            active = state.where(F.col("delta") > cfg.tolerance).count()
-        else:
-            active = -1
-        ckpt.log(
-            t,
-            algorithm="pagerank" if denominator == "degree" else "articlerank",
-            active=active,
-            wall_s=time.time() - t0,
-        )
-        if active == 0:
-            ran, converged = t, True
-            break
+            window.append(delta)
+            if t % every != 0 and t != cfg.max_iterations - 1:
+                continue
+
+            # boundary: rank' = rank + sum of window deltas (union + one agg);
+            # the final window delta rides along tagged so the next window's
+            # senders read it from the same materialized state.
+            rows = state.select("id", F.col("rank").alias("v"), F.lit(0).alias("last"))
+            for i, w_df in enumerate(window):
+                tag = 1 if i == len(window) - 1 else 0
+                rows = rows.unionByName(
+                    w_df.select("id", F.col("delta").alias("v"), F.lit(tag).alias("last"))
+                )
+            new_state = rows.groupBy("id").agg(
+                F.sum("v").alias("rank"),
+                F.coalesce(
+                    F.sum(F.when(F.col("last") == 1, F.col("v"))), F.lit(0.0)
+                ).alias("delta"),
+            )
+            obs = None
+            if cfg.tolerance > 0.0:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                new_state = new_state.observe(
+                    obs,
+                    F.sum(
+                        (F.col("delta") > cfg.tolerance).cast("long")
+                    ).alias("active"),
+                )
+            state = ckpt.checkpoint(new_state, t)
+            delta, window = None, []
+            active = int(obs.get["active"] or 0) if obs is not None else -1
+            ckpt.log(
+                t,
+                algorithm="pagerank" if denominator == "degree" else "articlerank",
+                active=active,
+                wall_s=time.time() - t0,
+            )
+            if active == 0:
+                ran, converged = t, True
+                break
 
     scores = state.select("id", F.col("rank").alias("score"))
     return CentralityResult(scores, ran, converged, ckpt.metrics)
@@ -211,37 +239,38 @@ def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> Centrali
 
     ran, converged = cfg.max_iterations, False
     t0 = time.time()
-    for t in range(1, cfg.max_iterations):
-        msgs = (
-            state.select("id", "sent_base")
-            .join(shares, state["id"] == shares["src"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("sent_base") * F.col("share")).alias("msg"))
-        )
-        nxt = (
-            state.join(msgs, state["id"] == msgs["dst"], "left")
-            .select(
-                state["id"],
-                F.col("rank").alias("prev_rank"),
-                (F.col("rank") + F.coalesce(F.col("msg"), F.lit(0.0))).alias("next"),
+    with no_aqe(spark):
+        for t in range(1, cfg.max_iterations):
+            msgs = (
+                state.select("id", "sent_base")
+                .join(shares, state["id"] == shares["src"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("sent_base") * F.col("share")).alias("msg"))
             )
-        )
-        nxt = ckpt.checkpoint(nxt, t, name="pre_norm")
-        norm = nxt.agg(F.sqrt(F.sum(F.col("next") * F.col("next")))).collect()[0][0] or 1.0
-        state = nxt.select(
-            "id",
-            (F.col("next") / F.lit(norm)).alias("rank"),
-            F.col("next").alias("sent_base"),
-            "prev_rank",
-        )
-        state = ckpt.checkpoint(state, t)
-        not_conv = state.where(
-            F.abs(F.col("rank") - F.col("prev_rank")) > cfg.tolerance
-        ).count()
-        ckpt.log(t, algorithm="eigenvector", active=not_conv, wall_s=time.time() - t0)
-        if not_conv == 0:
-            ran, converged = t, True
-            break
+            nxt = (
+                state.join(msgs, state["id"] == msgs["dst"], "left")
+                .select(
+                    state["id"],
+                    F.col("rank").alias("prev_rank"),
+                    (F.col("rank") + F.coalesce(F.col("msg"), F.lit(0.0))).alias("next"),
+                )
+            )
+            nxt = ckpt.checkpoint(nxt, t, name="pre_norm")
+            norm = nxt.agg(F.sqrt(F.sum(F.col("next") * F.col("next")))).collect()[0][0] or 1.0
+            state = nxt.select(
+                "id",
+                (F.col("next") / F.lit(norm)).alias("rank"),
+                F.col("next").alias("sent_base"),
+                "prev_rank",
+            )
+            state = ckpt.checkpoint(state, t)
+            not_conv = state.where(
+                F.abs(F.col("rank") - F.col("prev_rank")) > cfg.tolerance
+            ).count()
+            ckpt.log(t, algorithm="eigenvector", active=not_conv, wall_s=time.time() - t0)
+            if not_conv == 0:
+                ran, converged = t, True
+                break
 
     scores = state.select("id", F.col("rank").alias("score"))
     return CentralityResult(scores, ran, converged, ckpt.metrics)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+from graph_data_science_spark.session import no_aqe
 
 
 def collapse_path(graph: LinkGraph, other: Optional[LinkGraph] = None) -> DataFrame:
@@ -49,24 +50,25 @@ def bfs(
     visited = spark.createDataFrame([(int(source), 0)], "id long, hops int")
     frontier = visited
     depth = 0
-    while True:
-        depth += 1
-        if max_depth is not None and depth > max_depth:
-            break
-        nxt = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .withColumn("hops", F.lit(depth))
-        )
-        # parquet-backed checkpoint: truncates lineage AND resets plan stats
-        # (localCheckpoint preserves inflated sizeInBytes — see plans/checkpoint.py)
-        nxt = ckpt.checkpoint(nxt, depth, name="frontier")
-        if nxt.isEmpty():
-            break
-        visited = ckpt.checkpoint(visited.unionByName(nxt), depth, name="visited")
-        frontier = nxt
+    with no_aqe(spark):
+        while True:
+            depth += 1
+            if max_depth is not None and depth > max_depth:
+                break
+            nxt = (
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .withColumn("hops", F.lit(depth))
+            )
+            # parquet-backed checkpoint: truncates lineage AND resets plan stats
+            # (localCheckpoint preserves inflated sizeInBytes — see plans/checkpoint.py)
+            nxt = ckpt.checkpoint(nxt, depth, name="frontier")
+            if nxt.isEmpty():
+                break
+            visited = ckpt.checkpoint(visited.unionByName(nxt), depth, name="visited")
+            frontier = nxt
     edges.unpersist()
     return visited
 
@@ -96,27 +98,28 @@ def sssp_delta(
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, distance double")
     frontier = dist
     rounds = 0
-    for r in range(1, max_rounds + 1):
-        rounds = r
-        cand = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .groupBy("dst")
-            .agg(F.min(F.col("distance") + F.col("w")).alias("nd"))
-        )
-        merged = dist.join(cand, dist["id"] == cand["dst"], "full").select(
-            F.coalesce(dist["id"], cand["dst"]).alias("id"),
-            F.coalesce("distance", F.lit(float("inf"))).alias("old"),
-            F.least(
-                F.coalesce("distance", F.lit(float("inf"))),
-                F.coalesce("nd", F.lit(float("inf"))),
-            ).alias("distance"),
-        )
-        merged = ckpt.checkpoint(merged, r)
-        frontier = merged.where(F.col("distance") < F.col("old")).select("id", "distance")
-        improved = frontier.count()
-        ckpt.log(r, algorithm="sssp_delta", improved=improved)
-        dist = merged.select("id", "distance")
-        if improved == 0:
-            break
+    with no_aqe(spark):
+        for r in range(1, max_rounds + 1):
+            rounds = r
+            cand = (
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .groupBy("dst")
+                .agg(F.min(F.col("distance") + F.col("w")).alias("nd"))
+            )
+            merged = dist.join(cand, dist["id"] == cand["dst"], "full").select(
+                F.coalesce(dist["id"], cand["dst"]).alias("id"),
+                F.coalesce("distance", F.lit(float("inf"))).alias("old"),
+                F.least(
+                    F.coalesce("distance", F.lit(float("inf"))),
+                    F.coalesce("nd", F.lit(float("inf"))),
+                ).alias("distance"),
+            )
+            merged = ckpt.checkpoint(merged, r)
+            frontier = merged.where(F.col("distance") < F.col("old")).select("id", "distance")
+            improved = frontier.count()
+            ckpt.log(r, algorithm="sssp_delta", improved=improved)
+            dist = merged.select("id", "distance")
+            if improved == 0:
+                break
     edges.unpersist()
     return SsspResult(dist, rounds, ckpt.metrics)

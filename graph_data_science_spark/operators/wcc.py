@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+from graph_data_science_spark.session import no_aqe
 
 
 @dataclass
@@ -72,36 +73,42 @@ def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
 
     rounds, converged = cfg.max_rounds, False
     t0 = time.time()
-    for r in range(1, cfg.max_rounds + 1):
-        frontier = state.where("changed").select("id", "comp")
-        # neighbor-min: each changed node offers its comp to its neighbors
-        offers = (
-            frontier.join(sym, frontier["id"] == sym["src"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nbr_min"))
-        )
-        merged = state.join(offers, state["id"] == offers["dst"], "left").select(
-            state["id"],
-            F.col("comp").alias("old_comp"),
-            F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
-        )
-        # pointer jumping: comp := comp[comp] (component ids are node ids, so
-        # indexing the comp table by comp is well-defined)
-        lookup = merged.select(F.col("id").alias("p_id"), F.col("comp").alias("p_comp"))
-        jumped = merged.join(lookup, merged["comp"] == lookup["p_id"], "left").select(
-            merged["id"],
-            "old_comp",
-            F.least(F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))).alias("comp"),
-        )
-        state = jumped.select(
-            "id", "comp", (F.col("comp") < F.col("old_comp")).alias("changed")
-        )
-        state = ckpt.checkpoint(state, r)
-        changed = state.where("changed").count()
-        ckpt.log(r, algorithm="wcc", changed=changed, wall_s=time.time() - t0)
-        if changed == 0:
-            rounds, converged = r, True
-            break
+    with no_aqe(spark):
+        for r in range(1, cfg.max_rounds + 1):
+            frontier = state.where("changed").select("id", "comp")
+            # neighbor-min: each changed node offers its comp to its neighbors
+            offers = (
+                frontier.join(sym, frontier["id"] == sym["src"])
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nbr_min"))
+            )
+            merged = state.join(offers, state["id"] == offers["dst"], "left").select(
+                state["id"],
+                F.col("comp").alias("old_comp"),
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
+            )
+            # pointer jumping: comp := comp[comp] (component ids are node ids, so
+            # indexing the comp table by comp is well-defined)
+            lookup = merged.select(F.col("id").alias("p_id"), F.col("comp").alias("p_comp"))
+            jumped = merged.join(lookup, merged["comp"] == lookup["p_id"], "left").select(
+                merged["id"],
+                "old_comp",
+                F.least(F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))).alias("comp"),
+            )
+            state = jumped.select(
+                "id", "comp", (F.col("comp") < F.col("old_comp")).alias("changed")
+            )
+            # changed-count rides the checkpoint write (observe) — no extra job
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            state = state.observe(obs, F.sum(F.col("changed").cast("long")).alias("c"))
+            state = ckpt.checkpoint(state, r)
+            changed = int(obs.get["c"] or 0)
+            ckpt.log(r, algorithm="wcc", changed=changed, wall_s=time.time() - t0)
+            if changed == 0:
+                rounds, converged = r, True
+                break
 
     comps = state.select("id", "comp")
     if cfg.consecutive_ids:

@@ -94,9 +94,16 @@ class SuperstepCheckpointer:
         base = os.path.join(self.path, "state")
         steps = []
         for d in os.listdir(base):
-            if d.startswith(f"{name}_superstep=") and os.path.exists(
-                os.path.join(base, d, "_SUCCESS")
-            ):
+            if not d.startswith(f"{name}_superstep="):
+                continue
+            full = os.path.join(base, d)
+            # _SUCCESS markers are disabled for checkpoint-latency reasons
+            # (session.py); a superstep commit is judged by the presence of
+            # part files (with the v2 committer, visible only once renamed)
+            committed = os.path.exists(os.path.join(full, "_SUCCESS")) or any(
+                f.startswith("part-") for f in os.listdir(full)
+            )
+            if committed:
                 steps.append(int(d.split("=")[1]))
         return max(steps) if steps else None
 

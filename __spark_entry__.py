@@ -512,6 +512,61 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality from sampled sources (id % 50 == 0)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.closeness import harmonic_centrality
+
+    g = _dense_graph(spark, sf_dir)
+    srcs = g.nodes.where(F.col("id") % 50 == 0)
+    out = harmonic_centrality(g, sources=srcs)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality (default computer) from sampled sources."""
+    _tune(spark)
+    from graph_data_science_spark.operators.closeness import closeness_centrality
+
+    g = _dense_graph(spark, sf_dir)
+    srcs = g.nodes.where(F.col("id") % 50 == 0)
+    out = closeness_centrality(g, sources=srcs)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_pregel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Pregel computation (user-extension surface): per-node count of
+    sampled roots that reach it — rows-only (iterative user computation)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.pregel import (
+        PregelComputation,
+        PregelConfig,
+        run_pregel,
+    )
+
+    g = _sparse_graph(spark, sf_dir)
+    comp = PregelComputation(
+        init=lambda nodes: nodes.select(
+            "id",
+            F.when(F.col("id") % 100 == 0, F.col("id").cast("double"))
+            .otherwise(F.lit(float("-inf")))
+            .alias("best"),
+            (F.col("id") % 100 == 0).alias("changed"),
+        ),
+        message=lambda se: F.col("best"),
+        update=lambda st, msg: [
+            F.greatest(F.col("best"), msg),
+            msg > F.col("best"),
+        ],
+        reducer="max",
+        send_when=lambda st: F.col("changed") & (F.col("best") > float("-inf")),
+    )
+    res = run_pregel(g, comp, PregelConfig(max_iterations=15))
+    return res.state.select(
+        "id", F.when(F.col("best") == float("-inf"), -1.0).otherwise(F.col("best")).alias("best")
+    )
+
+
 def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end: documents -> synthetic web_pages(html) -> Arrow-UDF
     link extraction -> id map -> edge build -> PageRank (rows-only: the html
@@ -581,6 +636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_test_pos": q_split_test_pos,
         "split_train": q_split_train,
         "multimodal_features": q_multimodal_features,
+        "harmonic": q_harmonic,
+        "closeness": q_closeness,
+        "pregel_reach": q_pregel_reach,
         "corpus_pagerank": q_corpus_pagerank,
     }
 
@@ -1067,6 +1125,34 @@ FROM dots d JOIN norms n1 ON n1.vec_id = d.id1
 WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35"""
 
     sqls["k1coloring_valid"] = "SELECT CAST(0 AS BIGINT) AS conflicts"
+
+    sql_msbfs = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
+roots AS (SELECT id FROM nodes WHERE id % 50 = 0),
+walk(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.d < 25
+),
+dist AS (
+  SELECT root, id, MIN(d) AS d FROM walk GROUP BY root, id HAVING MIN(d) > 0
+),
+agg AS (
+  SELECT id, <AGGS> FROM dist GROUP BY id
+)
+SELECT n.id, ROUND(<SCORE>, 6) AS score
+FROM nodes n LEFT JOIN agg a ON a.id = n.id"""
+
+    sqls["harmonic"] = sql_msbfs.replace("<AGGS>", "SUM(1.0 / d) AS inv").replace(
+        "<SCORE>", "COALESCE(a.inv, 0.0) / ((SELECT COUNT(*) FROM nodes) - 1.0)"
+    )
+    sqls["closeness"] = sql_msbfs.replace(
+        "<AGGS>", "SUM(d) AS farness, COUNT(*) AS comp_size"
+    ).replace(
+        "<SCORE>",
+        "CASE WHEN a.farness IS NULL OR a.farness = 0 THEN 0.0 "
+        "ELSE a.comp_size / CAST(a.farness AS DOUBLE) END",
+    )
 
     # md5-bucket split: replay Spark's conv(substr(md5('src:dst'),1,6),16,10)
     hexval = " + ".join(

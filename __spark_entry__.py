@@ -567,6 +567,18 @@ def q_pregel_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness from sampled sources — rows-only (the per-level
+    backward dependency sweep has no tractable recursive-SQL mirror)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.betweenness import betweenness_centrality
+
+    g = _dense_graph(spark, sf_dir)
+    srcs = g.nodes.where(F.col("id") % 100 == 0)
+    out = betweenness_centrality(g, sources=srcs)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
 def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end: documents -> synthetic web_pages(html) -> Arrow-UDF
     link extraction -> id map -> edge build -> PageRank (rows-only: the html
@@ -638,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "harmonic": q_harmonic,
         "closeness": q_closeness,
+        "betweenness": q_betweenness,
         "pregel_reach": q_pregel_reach,
         "corpus_pagerank": q_corpus_pagerank,
     }

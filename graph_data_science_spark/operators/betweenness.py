@@ -1,0 +1,141 @@
+"""Betweenness centrality — Brandes' algorithm with optional source sampling.
+
+Reference: algo/src/main/java/org/neo4j/gds/betweenness/
+BetweennessCentrality.java:42 — per (sampled) source s: forward BFS
+accumulating shortest-path counts sigma, then a backward sweep by descending
+BFS level accumulating dependencies
+delta(v) = sum over successors w of (sigma_v / sigma_w) * (1 + delta_w);
+bc(v) += delta(v) for v != s.  Source sampling (`SelectionStrategy`) trades
+exactness for cost; with all nodes as sources the result is exact.
+
+Spark decomposition (all sources advance together, MSBFS-style):
+- forward: a (root, id) pair frontier; sigma(root, v) = sum of sigma over
+  predecessor-frontier rows reaching v — one join + one groupBy per level.
+- backward: iterate levels from deepest to 1; each step joins level-L nodes
+  with their predecessors (edges reversed) and aggregates the dependency sum
+  — again one join + one groupBy per level.
+Pair volume is O(sum of reachable pairs); use `sources` to sample on large
+graphs.  Directed semantics (NATURAL); run on an undirected LinkGraph view
+for the undirected variant (each undirected edge projected both ways).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph, Orientation
+from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+from graph_data_science_spark.session import no_aqe
+
+
+def betweenness_centrality(
+    graph: LinkGraph,
+    sources: Optional[DataFrame] = None,
+    orientation: Orientation = Orientation.NATURAL,
+    max_depth: int = 100,
+) -> DataFrame:
+    """id, score (unnormalized dependency sums, Brandes semantics)."""
+    spark = graph.nodes.sparkSession
+    ckpt = SuperstepCheckpointer(spark, None)
+    edges = graph.oriented_edges(orientation).select("src", "dst").distinct().cache()
+
+    roots = (sources or graph.nodes).select(F.col("id").alias("root"))
+    # forward phase: levels[(root, id, level, sigma)]
+    frontier = roots.select(
+        "root", F.col("root").alias("id"), F.lit(0).alias("level"),
+        F.lit(1.0).alias("sigma"),
+    )
+    visited = frontier
+    depth = 0
+    with no_aqe(spark):
+        while depth < max_depth:
+            depth += 1
+            expanded = (
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .groupBy("root", F.col("dst").alias("nid"))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            nxt = (
+                expanded.join(
+                    visited.select("root", F.col("id").alias("nid")),
+                    ["root", "nid"],
+                    "left_anti",
+                )
+                .select(
+                    "root", F.col("nid").alias("id"), F.lit(depth).alias("level"),
+                    "sigma",
+                )
+            )
+            nxt = ckpt.checkpoint(nxt, depth, name="fwd")
+            if nxt.isEmpty():
+                break
+            visited = ckpt.checkpoint(visited.unionByName(nxt), depth, name="vis")
+            frontier = nxt
+
+        levels = visited.cache()
+        max_level = levels.agg(F.max("level")).collect()[0][0] or 0
+
+        # backward phase: delta per (root, id), deepest level first
+        acc = None  # (root, id, score) accumulated dependencies
+        delta_next = None  # (root, id, delta) of level L+1
+        for lvl in range(max_level, 0, -1):
+            lvl_nodes = levels.where(F.col("level") == lvl).select(
+                "root", "id", "sigma"
+            )
+            if delta_next is None:
+                cur_delta = lvl_nodes.select(
+                    "root", "id", "sigma", F.lit(0.0).alias("delta")
+                )
+            else:
+                cur_delta = lvl_nodes.join(
+                    delta_next, ["root", "id"], "left"
+                ).select(
+                    "root", "id", "sigma",
+                    F.coalesce("delta", F.lit(0.0)).alias("delta"),
+                )
+            # push dependency to predecessors: pred p of w iff edge p->w and
+            # level(p) = level(w) - 1; contribution = sigma_p/sigma_w * (1+delta_w)
+            w_side = cur_delta.select(
+                F.col("root"), F.col("id").alias("w"),
+                F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
+            )
+            preds = levels.where(F.col("level") == lvl - 1).select(
+                "root", F.col("id").alias("p"), F.col("sigma").alias("sigma_p")
+            )
+            contrib = (
+                w_side.join(edges, w_side["w"] == edges["dst"])
+                .join(
+                    preds,
+                    (w_side["root"] == preds["root"]) & (edges["src"] == preds["p"]),
+                )
+                .drop(preds["root"])
+                .groupBy("root", "p")
+                .agg(
+                    F.sum(
+                        (F.col("sigma_p") / F.col("sigma_w"))
+                        * (F.lit(1.0) + F.col("delta_w"))
+                    ).alias("delta")
+                )
+                .select("root", F.col("p").alias("id"), "delta")
+            )
+            delta_next = ckpt.checkpoint(contrib, lvl, name="delta")
+            # dependencies of this level's nodes contribute to bc (v != root)
+            scored = cur_delta.where(F.col("id") != F.col("root")).select(
+                "root", "id", F.col("delta").alias("score")
+            )
+            acc = scored if acc is None else acc.unionByName(scored)
+            acc = ckpt.checkpoint(acc, lvl, name="acc")
+
+    edges.unpersist()
+    levels.unpersist()
+    if acc is None:
+        return graph.nodes.select("id", F.lit(0.0).alias("score"))
+    bc = acc.groupBy("id").agg(F.sum("score").alias("score"))
+    return (
+        graph.nodes.select("id")
+        .join(bc, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

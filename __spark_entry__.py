@@ -400,7 +400,7 @@ def q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs at rounded-cosine >= 0.35."""
     emb = _embeddings(spark, sf_dir)
     out = dedup_ops.embedding_near_duplicates(
-        emb, threshold=-2.0, id_col="vec_id", vec_col="embedding"
+        emb, threshold=-2.0, id_col="vec_id", vec_col="embedding", method="exact"
     )
     return out.select("id1", "id2", F.round("cosine", 6).alias("cosine")).where(
         F.col("cosine") >= 0.35

@@ -11,8 +11,12 @@
   cross-product never materializes, only per-bucket candidates shuffle.
 
 KNN (gds.knn.*, algo/.../similarity/knn/Knn.java) is NN-Descent over property
-distances; the LSH-bucketed variant here plays that role for embeddings at
-scale (random init + local refinement replaced by bucket collision).
+distances: random init + neighbor-of-neighbor refinement.  `knn` implements
+that shape: LSH buckets seed the neighbor lists (a better-than-random init),
+then `knn_refine` runs NN-Descent rounds — candidates are neighbors of
+neighbors (in both directions, the reference's `reverse` join lists),
+re-ranked exactly and folded into the per-node top-k.  Each round is two
+self-joins + one window — no cross product ever materializes.
 """
 
 from typing import Optional
@@ -129,3 +133,96 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def knn_refine(
+    embeddings: DataFrame,
+    topk: DataFrame,
+    k: int = 5,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NN-Descent refinement (Knn.java neighbor-of-neighbor rounds).
+
+    `topk` is a (query_id, neighbor_id, cosine) neighbor list (e.g. from
+    `lsh_ann_topk` over ALL nodes).  Each round proposes candidates via the
+    two-hop join over the current lists — forward (nbr-of-nbr) and reverse
+    (nodes that list me propose their other neighbors) — exactly re-ranks
+    them, and keeps the best k per node.  Converges in 2-3 rounds on
+    clustered data (the NN-Descent property: a neighbor's neighbor is likely
+    a neighbor).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    cur = topk.select("query_id", "neighbor_id", "cosine")
+    for _ in range(rounds):
+        fwd = (
+            cur.select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("mid"))
+            .join(
+                cur.select(
+                    F.col("query_id").alias("mid"), F.col("neighbor_id").alias("cand")
+                ),
+                "mid",
+            )
+            .select("q", "cand")
+        )
+        rev = (
+            cur.select(F.col("neighbor_id").alias("q"), F.col("query_id").alias("mid"))
+            .join(
+                cur.select(
+                    F.col("query_id").alias("mid"), F.col("neighbor_id").alias("cand")
+                ),
+                "mid",
+            )
+            .select("q", "cand")
+        )
+        cands = (
+            fwd.unionByName(rev)
+            .where(F.col("q") != F.col("cand"))
+            .distinct()
+            .join(cur.select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("cand")),
+                  ["q", "cand"], "left_anti")
+        )
+        scored = (
+            cands.join(
+                base.select(F.col("_id").alias("q"), F.col("_v").alias("qv"), F.col("_n").alias("qn")),
+                "q",
+            )
+            .join(
+                base.select(F.col("_id").alias("cand"), F.col("_v").alias("nv"), F.col("_n").alias("nn")),
+                "cand",
+            )
+            .select(
+                F.col("q").alias("query_id"),
+                F.col("cand").alias("neighbor_id"),
+                (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
+            )
+        )
+        merged = cur.unionByName(scored)
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        cur = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+    return cur
+
+
+def knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    rounds: int = 2,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """gds.knn analog: LSH-seeded neighbor lists + NN-Descent refinement."""
+    init = lsh_ann_topk(
+        embeddings, k=k, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return knn_refine(embeddings, init, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)

@@ -116,18 +116,39 @@ def ngram_jaccard_pairs(
 
     Candidates come from LSH by default; `max_id_distance` gives a cheap
     deterministic blocking alternative for oracle-friendly tests.
+
+    Scale shape: the intersection is CANDIDATE-DRIVEN — candidate pairs join
+    doc1's n-grams, then probe (doc2, ngram), so the shuffle is bounded by
+    |candidates| x grams-per-doc.  (A naive grams-self-join on raw `ngram`
+    explodes on any corpus-frequent n-gram — "of the" pairs every document
+    with every other — BEFORE any candidate filter can prune.)
     """
     grams = word_ngrams(docs, n).cache()
     counts = grams.groupBy(ID_COL).agg(F.count(F.lit(1)).alias("n_grams"))
 
+    if candidate_pairs is None:
+        if max_id_distance is not None:
+            # deterministic id-window blocking: |docs| * max_id_distance pairs
+            ids = docs.select(F.col(ID_COL).alias("doc1")).distinct()
+            cand = ids.select(
+                "doc1",
+                F.explode(F.sequence(F.lit(1), F.lit(int(max_id_distance)))).alias("_off"),
+            ).select("doc1", (F.col("doc1") + F.col("_off")).alias("doc2"))
+            candidate_pairs = cand.join(
+                ids.select(F.col("doc1").alias("doc2")), "doc2", "left_semi"
+            )
+        else:
+            candidate_pairs = lsh_candidate_pairs(docs)
+    candidate_pairs = candidate_pairs.where(F.col("doc1") < F.col("doc2"))
+
     g1 = grams.select(F.col(ID_COL).alias("doc1"), "ngram")
     g2 = grams.select(F.col(ID_COL).alias("doc2"), "ngram")
-    inter = g1.join(g2, "ngram").where(F.col("doc1") < F.col("doc2"))
-    if max_id_distance is not None:
-        inter = inter.where(F.col("doc2") - F.col("doc1") <= max_id_distance)
-    if candidate_pairs is not None:
-        inter = inter.join(candidate_pairs, ["doc1", "doc2"], "left_semi")
-    inter = inter.groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("inter"))
+    inter = (
+        candidate_pairs.join(g1, "doc1")
+        .join(g2, ["doc2", "ngram"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
 
     c1 = counts.select(F.col(ID_COL).alias("doc1"), F.col("n_grams").alias("n1"))
     c2 = counts.select(F.col(ID_COL).alias("doc2"), F.col("n_grams").alias("n2"))
@@ -174,23 +195,65 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: Optional[str] = None,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity: id1 < id2, cosine >= t.
 
-    Brute-force within blocks (block_col partitions the pair space; at scale
-    this is the LSH/IVF bucket id).  Dot products run as JVM higher-order
-    functions — no Python.
+    Default `method="lsh"`: pairs only meet inside a random-hyperplane LSH
+    bucket (multi-table OR for recall) — the pair space never materializes as
+    a cartesian product, so this is the 100-TB path.  Near-duplicates are
+    near-parallel vectors, which collide with probability (1 - theta/pi)^
+    n_planes per table — high for the tiny angles a dedup threshold implies.
+
+    `method="exact"` is the opt-in brute-force path: all pairs within a
+    block (`block_col`, or ONE global block when absent — quadratic; only
+    for small inputs and the correctness oracle).  Dot products run as JVM
+    higher-order functions — no Python either way.
     """
     e = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-        *([F.col(block_col).alias("_blk")] if block_col else [F.lit(0).alias("_blk")]),
+        *([F.col(block_col).alias("_ublk")] if block_col else []),
     )
     norm = F.sqrt(F.aggregate(F.transform("_v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     e = e.withColumn("_n", norm)
-    a = e.select(F.col("_id").alias("id1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"), "_blk")
-    b = e.select(F.col("_id").alias("id2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"), "_blk")
+
+    if method == "exact":
+        e = e.withColumn("_blk", F.struct(F.col("_ublk") if block_col else F.lit(0)))
+        blocked = e
+    else:
+        from graph_data_science_spark.operators.ann import _bucket_expr
+
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _bucket_expr(F.col("_v"), n_planes, seed + 7919 * t).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        blocked = e.withColumn("_b", F.explode(tables)).withColumn(
+            "_blk",
+            F.struct(
+                F.col("_b.tbl").alias("tbl"),
+                F.col("_b.bkt").alias("bkt"),
+                *([F.col("_ublk").alias("ublk")] if block_col else []),
+            ),
+        )
+
+    a = blocked.select(
+        F.col("_id").alias("id1"), F.col("_v").alias("v1"), F.col("_n").alias("n1"), "_blk"
+    )
+    b = blocked.select(
+        F.col("_id").alias("id2"), F.col("_v").alias("v2"), F.col("_n").alias("n2"), "_blk"
+    )
     pairs = a.join(b, "_blk").where(F.col("id1") < F.col("id2"))
+    if method != "exact":
+        pairs = pairs.dropDuplicates(["id1", "id2"])  # multi-table union
     dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     return (
         pairs.withColumn("cosine", dot / (F.col("n1") * F.col("n2")))

@@ -10,13 +10,17 @@ normalizationStrength s (degree^s scaling of base vectors).
 
 Spark decomposition (all JVM-side array ops — no Python):
 - base vectors: entry d of node v = {+sqrt(3), 0, -sqrt(3)} with prob
-  {1/6, 2/3, 1/6}, decided by xxhash64(v, d, seed) — partition-stable,
-  mirroring the reference's seeded per-node RNG
-  (FastRP.java initRandomVectors).
+  {1/6, 2/3, 1/6}, decided by md5(v:d:seed) integer arithmetic —
+  partition-stable, mirroring the reference's seeded per-node RNG
+  (FastRP.java initRandomVectors), and exactly replayable in ANSI SQL
+  (the correctness oracle recomputes the same base vectors in DuckDB).
+- iteration contract matches FastRP.propagateEmbeddings: ONE propagation
+  iteration per entry of `iteration_weights`; the L2-normalized base vector
+  is only the iteration-0 INPUT and never enters the final sum; the final
+  embedding is sum_t weights[t] * normalize(mean-over-neighbors^[t+1](base)).
 - each iteration: mean over in/out neighbors (undirected: both) of the
-  previous vector — one join + one groupBy with `F.aggregate`/`zip_with`
-  element-wise sums via posexplode (k*dim-bounded shuffle).
-- L2 normalization per iteration, weighted sum at the end.
+  previous vector — one join + one groupBy with element-wise sums via
+  posexplode (nodes*dim-bounded shuffle, map-side partial agg).
 """
 
 from __future__ import annotations
@@ -78,11 +82,15 @@ def fastrp(graph: LinkGraph, cfg: Optional[FastRPConfig] = None) -> FastRPResult
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 
     # sparse seeded base vectors: P(+sqrt3)=1/6, P(0)=2/3, P(-sqrt3)=1/6,
-    # scaled by deg^normalizationStrength
+    # scaled by deg^normalizationStrength.  The hash is md5-hex-prefix
+    # arithmetic (not xxhash64) so the SQL correctness oracle replays it.
     dims = F.sequence(F.lit(0), F.lit(dim - 1))
 
     def base_entry(d):
-        h = F.pmod(F.xxhash64(F.col("id"), d, F.lit(cfg.seed)), F.lit(6))
+        key = F.concat_ws(
+            ":", F.col("id").cast("string"), d.cast("string"), F.lit(str(cfg.seed))
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long") % 6
         return (
             F.when(h == 0, F.lit(SQRT3)).when(h == 1, F.lit(-SQRT3)).otherwise(F.lit(0.0))
         )
@@ -101,15 +109,14 @@ def fastrp(graph: LinkGraph, cfg: Optional[FastRPConfig] = None) -> FastRPResult
     ).select("id", _l2_normalize(F.transform("vec", lambda x: x * F.col("scale"))).alias("vec"))
     state = ckpt.checkpoint(state, 0)
 
-    # accumulate weighted sum of normalized per-iteration embeddings
-    acc = state.select(
-        "id",
-        F.transform("vec", lambda x: x * F.lit(float(cfg.iteration_weights[0]))).alias("acc"),
-    )
+    # accumulate weighted sum of normalized per-iteration embeddings; the
+    # base vector is the iteration-0 input only (FastRP.propagateEmbeddings
+    # never includes it in the sum)
+    acc = state.select("id", F.transform(dims, lambda d: F.lit(0.0)).alias("acc"))
     acc = ckpt.checkpoint(acc, 0, name="acc")
 
     t0 = time.time()
-    n_iter = len(cfg.iteration_weights) - 1
+    n_iter = len(cfg.iteration_weights)
     for t in range(1, n_iter + 1):
         prev = state.select(F.col("id").alias("dst"), F.col("vec").alias("nbr_vec"))
         # mean over neighbors, element-wise via posexplode (shuffle bounded
@@ -135,15 +142,16 @@ def fastrp(graph: LinkGraph, cfg: Optional[FastRPConfig] = None) -> FastRPResult
             .select("id", _l2_normalize(F.col("raw")).alias("vec"))
         )
         state = ckpt.checkpoint(state, t)
-        wgt = float(cfg.iteration_weights[t])
-        acc = (
-            acc.join(state, "id")
-            .select(
-                "id",
-                F.zip_with("acc", "vec", lambda a, v: a + v * F.lit(wgt)).alias("acc"),
+        wgt = float(cfg.iteration_weights[t - 1])
+        if wgt != 0.0:  # zero-weight iterations still propagate, never sum
+            acc = (
+                acc.join(state, "id")
+                .select(
+                    "id",
+                    F.zip_with("acc", "vec", lambda a, v: a + v * F.lit(wgt)).alias("acc"),
+                )
             )
-        )
-        acc = ckpt.checkpoint(acc, t, name="acc")
+            acc = ckpt.checkpoint(acc, t, name="acc")
         ckpt.log(t, algorithm="fastrp", wall_s=time.time() - t0)
 
     sym.unpersist()

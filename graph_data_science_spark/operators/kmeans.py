@@ -58,9 +58,10 @@ def kmeans(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).cache()
 
-    # deterministic init: k smallest ids
+    # deterministic init: k smallest ids; fewer rows than k -> clamp k_eff
     init_rows = base.orderBy("id").limit(cfg.k).collect()
     centroids = [list(r["v"]) for r in init_rows]
+    k_eff = len(centroids)
 
     def dist2(centroid: list):
         arr = F.array(*[F.lit(float(x)) for x in centroid])
@@ -73,36 +74,51 @@ def kmeans(
     assign = None
     ran, converged = cfg.max_iterations, False
     t0 = time.time()
+    from pyspark.sql import Observation
+
     for t in range(1, cfg.max_iterations + 1):
         # argmin over k broadcast centroid expressions (ties -> lower cluster)
         d_cols = [dist2(c).alias(f"d{j}") for j, c in enumerate(centroids)]
         scored = base.select("id", "v", *d_cols)
         best = F.lit(0)
         best_d = F.col("d0")
-        for j in range(1, cfg.k):
+        for j in range(1, k_eff):
             is_better = F.col(f"d{j}") < best_d
             best = F.when(is_better, F.lit(j)).otherwise(best)
             best_d = F.when(is_better, F.col(f"d{j}")).otherwise(best_d)
-        new_assign = scored.select("id", "v", best.alias("cluster"))
-        new_assign = ckpt.checkpoint(new_assign, t)
-
+        new_assign = scored.select(
+            "id", "v", best.alias("cluster"), best_d.alias("d2")
+        )
+        # change-count rides the checkpoint write (observe) — one extra join
+        # against the previous assignment, zero extra jobs
         if assign is not None:
-            changed = (
-                new_assign.select("id", "cluster")
-                .join(
-                    assign.select("id", F.col("cluster").alias("old")),
-                    "id",
-                )
-                .where(F.col("cluster") != F.col("old"))
-                .count()
+            new_assign = new_assign.join(
+                assign.select("id", F.col("cluster").alias("_old")), "id"
             )
+            obs = Observation()
+            new_assign = new_assign.observe(
+                obs,
+                F.sum((F.col("cluster") != F.col("_old")).cast("long")).alias("chg"),
+                F.sum("d2").alias("sse"),
+            ).select("id", "v", "cluster", "d2")
         else:
-            changed = -1
+            obs = Observation()
+            new_assign = new_assign.observe(obs, F.sum("d2").alias("sse")).select(
+                "id", "v", "cluster", "d2"
+            )
+        new_assign = ckpt.checkpoint(new_assign, t)
+        row = obs.get
+        changed = int(row["chg"] or 0) if "chg" in row else -1
         assign = new_assign
-        ckpt.log(t, algorithm="kmeans", changed=changed, wall_s=time.time() - t0)
+        ckpt.log(
+            t, algorithm="kmeans", changed=changed,
+            sse=float(row["sse"] or 0.0), wall_s=time.time() - t0,
+        )
         if changed == 0:
             ran, converged = t, True
             break
+        if t == cfg.max_iterations:
+            break  # keep `centroids` == the ones this assignment is argmin of
 
         # recompute centroids: explode to (cluster, dim, x), mean per cell
         exploded = assign.select(
@@ -117,7 +133,7 @@ def kmeans(
             .collect()
         )
         by_cluster = {r["cluster"]: list(r["centroid"]) for r in means}
-        centroids = [by_cluster.get(j, centroids[j]) for j in range(cfg.k)]
+        centroids = [by_cluster.get(j, centroids[j]) for j in range(k_eff)]
 
     base.unpersist()
     return KmeansResult(

@@ -76,6 +76,10 @@ def label_propagation(
     ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    from graph_data_science_spark.plans.estimate import cost_report
+
+    ckpt.log(0, estimate=cost_report("labelprop", graph.nodes, graph.edges, cfg.max_iterations))
+
     # gather direction matches the reference's forEachRelationship: a node
     # adopts labels from its out-neighbors under the given orientation
     edges = graph.oriented_edges(cfg.orientation).select("src", "dst", "weight")

@@ -168,17 +168,39 @@ def _local_moving(
             .where(F.col("cand") != F.col("cur"))
             .select(F.col("src").alias("id"), F.col("cand").alias("new_comm"))
         )
-        # conflict-free batching: only half the nodes move per round
-        best = best.where((F.col("id") + it) % 2 == 0)
-        moved = best.count()
-        ckpt.log(it, algorithm="louvain_move", level=level, moved=moved)
-        if moved == 0:
-            break
-        comm = (
-            comm.join(best, "id", "left")
-            .select("id", F.coalesce("new_comm", "community").alias("community"), "deg")
+        # conflict-free batching: only half the nodes APPLY their move per
+        # round (deterministic analog of the reference's color-batched
+        # scheduling).  Convergence tests the UNFILTERED candidate count —
+        # a round whose movers all sit in the skipped parity class must not
+        # terminate the loop.  Both counts ride the checkpoint write
+        # (observe) — one action per inner iteration.
+        apply_gate = (F.col("id") + it) % 2 == 0
+        merged = comm.join(best, "id", "left").select(
+            "id",
+            F.when(F.col("new_comm").isNotNull() & apply_gate, F.col("new_comm"))
+            .otherwise(F.col("community"))
+            .alias("community"),
+            "deg",
+            F.col("new_comm").isNotNull().alias("_cand"),
+            (F.col("new_comm").isNotNull() & apply_gate).alias("_moved"),
         )
-        comm = ckpt.checkpoint(comm, it, name=f"louvain_l{level}")
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = merged.observe(
+            obs,
+            F.sum(F.col("_cand").cast("long")).alias("cand_moves"),
+            F.sum(F.col("_moved").cast("long")).alias("moved"),
+        ).select("id", "community", "deg")
+        comm = ckpt.checkpoint(observed, it, name=f"louvain_l{level}")
+        row = obs.get
+        cand_moves, moved = int(row["cand_moves"] or 0), int(row["moved"] or 0)
+        ckpt.log(
+            it, algorithm="louvain_move", level=level, moved=moved,
+            cand_moves=cand_moves,
+        )
+        if cand_moves == 0:
+            break
 
     nodes_deg.unpersist()
     sym.unpersist()

@@ -1,0 +1,212 @@
+"""Uniform execution-mode surface: stream / stats / mutate / write.
+
+Reference: executor/src/main/java/org/neo4j/gds/executor/ExecutionMode.java:
+22-30 — every algorithm is exposed in four modes: STREAM (rows to caller),
+STATS (summary row with histograms), MUTATE (add the result as an in-memory
+node property), WRITE (persist).  Here one `run()` entry wraps every major
+operator with the same contract:
+
+- stream -> the result DataFrame
+- stats  -> a dict: run metadata + CommunityStatistics/CentralityStatistics
+            style histogram fields
+- mutate -> a NEW LinkGraph whose nodes carry the result column
+            (GraphStore.addNodeProperty analog; graphs stay immutable —
+            mutation returns a new projection)
+- write  -> result written to parquet at `write_path` (the Iceberg
+            MERGE INTO analog on a cluster), returns the path
+
+A cheap cost report (plans/estimate.py) is logged into the returned
+metadata before execution — the `.estimate` twin.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph
+from graph_data_science_spark.plans.estimate import cost_report
+
+
+@dataclass
+class AlgoSpec:
+    run: Callable[[LinkGraph, dict], Any]  # -> result object or DataFrame
+    result_df: Callable[[Any], DataFrame]  # extract (id, <value_col>) DF
+    value_col: str
+    kind: str  # 'community' | 'centrality'
+
+
+def _pagerank(variant: str):
+    from graph_data_science_spark.operators import pagerank as pr
+
+    fn = {"pagerank": pr.page_rank, "articlerank": pr.article_rank,
+          "eigenvector": pr.eigenvector}[variant]
+
+    def run(g, cfg):
+        return fn(g, pr.PageRankConfig(**cfg))
+
+    return AlgoSpec(run, lambda r: r.scores, "score", "centrality")
+
+
+def _wcc():
+    from graph_data_science_spark.operators import wcc as w
+
+    return AlgoSpec(
+        lambda g, cfg: w.wcc(g, w.WccConfig(**cfg) if cfg else None),
+        lambda r: r.components.withColumnRenamed("comp", "component"),
+        "component",
+        "community",
+    )
+
+
+def _labelprop():
+    from graph_data_science_spark.operators import labelprop as lp
+
+    return AlgoSpec(
+        lambda g, cfg: lp.label_propagation(g, lp.LabelPropagationConfig(**cfg)),
+        lambda r: r.labels,
+        "label",
+        "community",
+    )
+
+
+def _triangles():
+    from graph_data_science_spark.operators import triangles as tri
+
+    return AlgoSpec(
+        lambda g, cfg: tri.triangle_count(g, tri.TriangleCountConfig(**cfg) if cfg else None),
+        lambda r: r.local_triangles.withColumnRenamed("triangles", "triangleCount"),
+        "triangleCount",
+        "centrality",
+    )
+
+
+def _degree():
+    from graph_data_science_spark.operators import degree as deg
+
+    class _R:
+        def __init__(self, df):
+            self.df = df
+            self.metrics = []
+
+    return AlgoSpec(
+        lambda g, cfg: _R(deg.degree_centrality(g, **cfg)),
+        lambda r: r.df,
+        "score",
+        "centrality",
+    )
+
+
+def _louvain():
+    from graph_data_science_spark.operators import louvain as lv
+
+    return AlgoSpec(
+        lambda g, cfg: lv.louvain(g, lv.LouvainConfig(**cfg)),
+        lambda r: r.communities,
+        "community",
+        "community",
+    )
+
+
+def _scc():
+    from graph_data_science_spark.operators import scc as s
+
+    return AlgoSpec(
+        lambda g, cfg: s.scc(g, **cfg),
+        lambda r: r.components.withColumnRenamed("comp", "component"),
+        "component",
+        "community",
+    )
+
+
+_ALGOS: dict[str, Callable[[], AlgoSpec]] = {
+    "pagerank": lambda: _pagerank("pagerank"),
+    "articlerank": lambda: _pagerank("articlerank"),
+    "eigenvector": lambda: _pagerank("eigenvector"),
+    "wcc": _wcc,
+    "labelprop": _labelprop,
+    "triangles": _triangles,
+    "degree": _degree,
+    "louvain": _louvain,
+    "scc": _scc,
+}
+
+MODES = ("stream", "stats", "mutate", "write")
+
+
+def _stats_row(df: DataFrame, value_col: str, kind: str) -> dict:
+    if kind == "community":
+        from graph_data_science_spark.operators.community import community_stats
+
+        return community_stats(df.withColumnRenamed(value_col, "comp"))
+    # centrality histogram (CentralityStatistics.java analog)
+    row = df.agg(
+        F.count(F.lit(1)).alias("nodeCount"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.avg(value_col).alias("mean"),
+        F.expr(
+            f"percentile_approx({value_col}, "
+            "array(0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999), 10000)"
+        ).alias("p"),
+    ).collect()[0]
+    keys = ["p1", "p5", "p25", "p50", "p75", "p90", "p95", "p99", "p999"]
+    return {
+        "nodeCount": row["nodeCount"],
+        "min": row["min"],
+        "max": row["max"],
+        "mean": row["mean"],
+        **dict(zip(keys, row["p"])),
+    }
+
+
+def run(
+    graph: LinkGraph,
+    algorithm: str,
+    mode: str = "stream",
+    write_path: Optional[str] = None,
+    mutate_property: Optional[str] = None,
+    **config: Any,
+):
+    """One entry, four modes (ExecutionMode.java:22-30).  See module doc."""
+    if algorithm not in _ALGOS:
+        raise ValueError(f"unknown algorithm {algorithm!r}; have {sorted(_ALGOS)}")
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}; have {MODES}")
+    spec = _ALGOS[algorithm]()
+
+    est = cost_report(
+        algorithm, graph.nodes, graph.edges, int(config.get("max_iterations", 20))
+    )
+    result = spec.run(graph, config)
+    df = spec.result_df(result)
+    meta = {
+        "algorithm": algorithm,
+        "mode": mode,
+        "estimate": est,
+        "ran_iterations": getattr(result, "ran_iterations", None),
+        "did_converge": getattr(result, "did_converge", None),
+    }
+
+    if mode == "stream":
+        return df, meta
+    if mode == "stats":
+        return {**meta, **_stats_row(df, spec.value_col, spec.kind)}
+    if mode == "mutate":
+        prop = mutate_property or spec.value_col
+        mutated = LinkGraph(
+            nodes=graph.nodes.join(
+                df.select("id", F.col(spec.value_col).alias(prop)), "id", "left"
+            ),
+            edges=graph.edges,
+            orientation=graph.orientation,
+        )
+        return mutated, meta
+    # write
+    if not write_path:
+        raise ValueError("write mode requires write_path")
+    df.write.mode("overwrite").parquet(write_path)
+    return write_path, meta

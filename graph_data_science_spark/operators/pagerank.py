@@ -111,6 +111,12 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
     alpha = 1.0 - cfg.damping_factor
     d = cfg.damping_factor
 
+    from graph_data_science_spark.plans.estimate import cost_report
+
+    ckpt.log(0, estimate=cost_report(
+        "pagerank" if denominator == "degree" else "articlerank",
+        graph.nodes, graph.edges, cfg.max_iterations,
+    ))
     shares = _out_shares(graph, cfg, denominator)
 
     if cfg.source_nodes:
@@ -216,6 +222,11 @@ def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> Centrali
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
 
+    from graph_data_science_spark.plans.estimate import cost_report
+
+    ckpt.log(0, estimate=cost_report(
+        "eigenvector", graph.nodes, graph.edges, cfg.max_iterations
+    ))
     shares = _out_shares(graph, cfg, denominator="one_or_wdeg")
 
     n = graph.node_count()
@@ -227,12 +238,18 @@ def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> Centrali
         init = F.lit(1.0 / n)
 
     # superstep 0: next = init (no messages); sent = next * share happens at
-    # the edge level next round; normalize init into rank.
-    state = graph.nodes.select("id", init.alias("next"), init.alias("prev_rank"))
-    norm = state.agg(F.sqrt(F.sum(F.col("next") * F.col("next")))).collect()[0][0] or 1.0
-    state = state.select(
+    # the edge level next round; normalize init into rank.  The L2 norm is a
+    # broadcast 1-row aggregate folded into the same plan (masterCompute
+    # analog) so each superstep — message agg, normalization, and the
+    # convergence count via observe — is ONE action: a single checkpoint
+    # write, no per-iteration collect()/count() barriers.
+    from pyspark.sql import Observation
+
+    pre = graph.nodes.select("id", init.alias("next"))
+    n0 = F.broadcast(pre.agg(F.sqrt(F.sum(F.col("next") ** 2)).alias("nrm")))
+    state = pre.crossJoin(n0).select(
         "id",
-        (F.col("next") / F.lit(norm)).alias("rank"),
+        (F.col("next") / F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(1.0)).alias("rank"),
         F.col("next").alias("sent_base"),  # unnormalized next, message base
     )
     state = ckpt.checkpoint(state, 0)
@@ -255,18 +272,24 @@ def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> Centrali
                     (F.col("rank") + F.coalesce(F.col("msg"), F.lit(0.0))).alias("next"),
                 )
             )
-            nxt = ckpt.checkpoint(nxt, t, name="pre_norm")
-            norm = nxt.agg(F.sqrt(F.sum(F.col("next") * F.col("next")))).collect()[0][0] or 1.0
-            state = nxt.select(
+            nn = F.broadcast(nxt.agg(F.sqrt(F.sum(F.col("next") ** 2)).alias("nrm")))
+            final = nxt.crossJoin(nn).select(
                 "id",
-                (F.col("next") / F.lit(norm)).alias("rank"),
+                (F.col("next") / F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(1.0)).alias(
+                    "rank"
+                ),
                 F.col("next").alias("sent_base"),
                 "prev_rank",
             )
-            state = ckpt.checkpoint(state, t)
-            not_conv = state.where(
-                F.abs(F.col("rank") - F.col("prev_rank")) > cfg.tolerance
-            ).count()
+            obs = Observation()
+            observed = final.observe(
+                obs,
+                F.sum(
+                    (F.abs(F.col("rank") - F.col("prev_rank")) > cfg.tolerance).cast("long")
+                ).alias("active"),
+            )
+            state = ckpt.checkpoint(observed, t)
+            not_conv = int(obs.get["active"] or 0)
             ckpt.log(t, algorithm="eigenvector", active=not_conv, wall_s=time.time() - t0)
             if not_conv == 0:
                 ran, converged = t, True

@@ -87,6 +87,10 @@ def run_pregel(
     ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    from graph_data_science_spark.plans.estimate import cost_report
+
+    ckpt.log(0, estimate=cost_report("pregel", graph.nodes, graph.edges, cfg.max_iterations))
+
     reducer = REDUCERS[comp.reducer]
     edges = (
         graph.oriented_edges(cfg.orientation)

@@ -3,12 +3,13 @@ splitting with negative sampling (gds.alpha.ml.splitRelationships.mutate).
 
 Random walk reference: algo/src/main/java/org/neo4j/gds/traversal/
 RandomWalk.java — walksPerNode walks of walkLength steps; node2vec
-return/in-out bias (p, q) omitted in the uniform variant (q=p=1), which is
-what the default config computes.  Spark decomposition: walks extend one hop
-per superstep — current frontier joins the adjacency-array DF and picks a
-seeded pseudo-random neighbor index (xxhash64(walk_id, step, seed) %
-degree), so the walk is deterministic, partition-stable, and fully
-vectorized; dead-ends terminate the walk (reference behavior).
+return/in-out bias (p, q) supported via `biased_random_walks` (second-order
+walks carrying the previous node).  Spark decomposition: walks extend one
+hop per superstep — current frontier joins the adjacency-array DF and picks
+a seeded pseudo-random neighbor index (md5-hex-prefix arithmetic over
+(walk_id, step, seed) % degree — SQL-replayable by the correctness oracle),
+so the walk is deterministic, partition-stable, and fully vectorized;
+dead-ends terminate the walk (reference behavior).
 
 Split reference: alpha/.../SplitRelationships* — hold out a fraction of
 edges as test positives, sample an equal number of non-edges as test
@@ -66,19 +67,27 @@ def random_walks(graph: LinkGraph, cfg: Optional[RandomWalkConfig] = None) -> Da
 
     for step in range(1, cfg.walk_length):
         nxt = walks.join(adj, walks["cur"] == adj["src"], "left")
+        # md5-hex-prefix pseudo-random index (replayable in ANSI SQL)
+        rnd = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(step)),
+                        F.lit(str(cfg.seed)),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
         pick = F.when(
             F.col("done") | F.col("nbrs").isNull() | (F.size("nbrs") == 0), F.lit(None)
         ).otherwise(
-            F.element_at(
-                "nbrs",
-                (
-                    F.pmod(
-                        F.xxhash64("walk_id", F.lit(step), F.lit(cfg.seed)),
-                        F.size("nbrs"),
-                    )
-                    + 1
-                ).cast("int"),
-            )
+            F.element_at("nbrs", (F.pmod(rnd, F.size("nbrs")) + 1).cast("int"))
         )
         walks = nxt.select(
             "walk_id",
@@ -145,6 +154,10 @@ def split_relationships(graph: LinkGraph, cfg: Optional[SplitConfig] = None) -> 
     )
     neg = (
         cand.join(e, ["src", "dst"], "left_anti")
+        # distinct negatives: different candidate rows can hash to the same
+        # (src,dst); keep min(ord) per pair for determinism
+        .groupBy("src", "dst")
+        .agg(F.min("ord").alias("ord"))
         .orderBy("ord")
         .limit(n_neg)
         .select("src", "dst")

@@ -54,6 +54,10 @@ def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
     ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    from graph_data_science_spark.plans.estimate import cost_report
+
+    ckpt.log(0, estimate=cost_report("wcc", graph.nodes, graph.edges, cfg.max_rounds if hasattr(cfg, 'max_rounds') else 50))
+
     edges = graph.edges
     if cfg.threshold is not None:
         edges = edges.where(F.col("weight") > F.lit(cfg.threshold))

@@ -82,6 +82,13 @@ class SuperstepCheckpointer:
             return self.spark.read.parquet(p)
         p = self._state_path(superstep, name)
         df.write.mode("overwrite").parquet(p)
+        # durable mode: _SUCCESS markers are disabled and the v2 committer
+        # renames task-side, so a job dying mid-write can leave SOME part
+        # files visible.  An explicit commit manifest (written only after the
+        # parquet write returns) is the durability barrier resume trusts.
+        parts = sorted(f for f in os.listdir(p) if f.startswith("part-"))
+        with open(os.path.join(p, "_COMMITTED"), "w") as fh:
+            json.dump({"superstep": superstep, "name": name, "parts": parts}, fh)
         return self.spark.read.parquet(p)
 
     def _state_path(self, superstep: int, name: str = "state") -> str:
@@ -97,13 +104,11 @@ class SuperstepCheckpointer:
             if not d.startswith(f"{name}_superstep="):
                 continue
             full = os.path.join(base, d)
-            # _SUCCESS markers are disabled for checkpoint-latency reasons
-            # (session.py); a superstep commit is judged by the presence of
-            # part files (with the v2 committer, visible only once renamed)
-            committed = os.path.exists(os.path.join(full, "_SUCCESS")) or any(
-                f.startswith("part-") for f in os.listdir(full)
-            )
-            if committed:
+            # a superstep is committed iff the _COMMITTED manifest exists —
+            # part files alone are NOT trusted (_SUCCESS markers are disabled
+            # in session.py, and the v2 committer renames task-side, so a
+            # mid-write crash leaves partial part files visible)
+            if os.path.exists(os.path.join(full, "_COMMITTED")):
                 steps.append(int(d.split("=")[1]))
         return max(steps) if steps else None
 

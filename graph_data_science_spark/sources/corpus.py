@@ -170,26 +170,36 @@ def synth_web_pages(spark: SparkSession, cfg: CorpusConfig | None = None) -> Dat
     )
 
 
+def _hex6(key) -> "F.Column":
+    """First-6-hex-chars of md5(key) as a long in [0, 16^6) — the seeded RNG
+    whose arithmetic an ANSI-SQL oracle replays exactly (unlike xxhash64)."""
+    return F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long")
+
+
 def web_pages_from_documents(docs: DataFrame, avg_degree: float = 8.0, seed: int = 42) -> DataFrame:
     """Deterministic web_pages derived from the testdata `documents` table:
     urls keyed by doc_id, html embeds the (entity-escaped) document text plus
     seeded link structure over the doc_id space.  Used by the driver entry
-    flagship query so the full html->links->graph path runs over testdata."""
+    flagship query so the full html->links->graph path runs over testdata.
+
+    Every random quantity is md5-hex-prefix arithmetic on (doc_id, k, seed),
+    so the correctness oracle rebuilds the same edge list in DuckDB and
+    replays the full pipeline end-to-end (CORRECTNESS `corpus_pagerank`)."""
     n = docs.count()
     doc_id = F.col("doc_id").cast("long")
     url = F.concat(F.lit("https://corpus.example.org/doc/"), doc_id.cast("string"))
 
+    M = float(16**6)
+    u_deg = _hex6(F.concat_ws(":", doc_id.cast("string"), F.lit("deg"), F.lit(str(seed)))) / M
     deg = F.least(
         F.lit(64),
-        F.floor(
-            F.lit(avg_degree / 2.0)
-            * F.pow(_u(F.xxhash64(doc_id, F.lit("deg"), F.lit(seed))) + F.lit(1e-9), F.lit(-0.5))
-        ),
+        F.floor(F.lit(avg_degree / 2.0) * F.pow(u_deg + F.lit(1e-9), F.lit(-0.5))),
     ).cast("int")
 
     def target_expr(k):
-        h = F.xxhash64(doc_id, k, F.lit(seed), F.lit("tgt"))
-        u = _u(F.xxhash64(h, F.lit("u")))
+        ks = k.cast("string")
+        h = _hex6(F.concat_ws(":", doc_id.cast("string"), ks, F.lit("tgt"), F.lit(str(seed))))
+        u = _hex6(F.concat_ws(":", doc_id.cast("string"), ks, F.lit("u"), F.lit(str(seed)))) / M
         skewed = F.floor(F.lit(float(n)) * F.pow(u, F.lit(3.0)))
         return F.when(F.pmod(h, F.lit(5)) < 2, skewed).otherwise(F.floor(F.lit(float(n)) * u))
 

@@ -1,0 +1,224 @@
+"""Round-2 operators: shortest paths (with path reconstruction), SCC,
+node2vec, the uniform execution-mode wrapper, KNN refinement, and the cost
+estimate surface."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph
+from graph_data_science_spark.operators.paths import shortest_paths, sssp_delta
+from graph_data_science_spark.operators.scc import scc
+
+
+def _graph(spark, edges, weighted=False):
+    return LinkGraph.from_edges(spark, edges, weighted=weighted)
+
+
+# -- shortest paths -----------------------------------------------------------
+
+def test_shortest_paths_unweighted(spark):
+    # 0->1->2->3, plus shortcut 0->2
+    g = _graph(spark, [(0, 1), (1, 2), (2, 3), (0, 2)])
+    res = shortest_paths(g, 0, weighted=False)
+    rows = {r["target"]: r for r in res.paths.collect()}
+    assert rows[0]["node_ids"] == [0] and rows[0]["total_cost"] == 0.0
+    assert rows[2]["node_ids"] == [0, 2]  # the shortcut, not 0-1-2
+    assert rows[3]["node_ids"] == [0, 2, 3]
+    assert rows[3]["costs"] == [0.0, 1.0, 2.0]
+
+
+def test_shortest_paths_weighted_and_pred_determinism(spark):
+    # two equal-cost routes to 3: 0-1-3 (2+2) and 0-2-3 (1+3); pred rule
+    # (min u achieving dist) must pick pred(3) = 1
+    g = _graph(
+        spark,
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 3, 2.0), (2, 3, 3.0)],
+        weighted=True,
+    )
+    res = shortest_paths(g, 0, weighted=True)
+    rows = {r["target"]: r for r in res.paths.collect()}
+    assert rows[3]["total_cost"] == 4.0
+    assert rows[3]["node_ids"] == [0, 1, 3]
+    assert rows[2]["node_ids"] == [0, 2]
+    # distances agree with sssp_delta
+    d = {r["id"]: r["distance"] for r in sssp_delta(g, 0).distances.collect()}
+    assert d == {0: 0.0, 1: 2.0, 2: 1.0, 3: 4.0}
+
+
+def test_shortest_paths_match_edges(spark):
+    # every consecutive pair in every path must be a real edge
+    edges = [(i, (i * 3 + 1) % 17) for i in range(17)] + [(0, 5), (5, 11)]
+    g = _graph(spark, edges)
+    res = shortest_paths(g, 0, weighted=False)
+    eset = set((a, b) for a, b in edges)
+    for r in res.paths.collect():
+        p = r["node_ids"]
+        for a, b in zip(p, p[1:]):
+            assert (a, b) in eset
+
+
+# -- SCC ----------------------------------------------------------------------
+
+def test_scc_two_cycles_and_bridge(spark):
+    # cycle {0,1,2}, cycle {3,4}, bridge 2->3, tail 5 (singleton)
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (2, 3), (4, 5)])
+    comp = {r["id"]: r["comp"] for r in scc(g).components.collect()}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == comp[4] == 3
+    assert comp[5] == 5
+
+
+def test_scc_dag_is_all_singletons(spark):
+    g = _graph(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    comp = {r["id"]: r["comp"] for r in scc(g).components.collect()}
+    assert comp == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_scc_matches_mutual_reachability(spark):
+    # pseudo-random functional graph + some extra edges; verify vs closure
+    import itertools
+
+    n = 40
+    edges = [(i, (i * 7 + 3) % n) for i in range(n)] + [
+        (i, (i * 5 + 1) % n) for i in range(0, n, 3)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    g = _graph(spark, edges)
+    comp = {r["id"]: r["comp"] for r in scc(g).components.collect()}
+
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+    reach = {}
+    for s in range(n):
+        seen, stack = {s}, [s]
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        reach[s] = seen
+    expected = {
+        v: min(u for u in range(n) if u in reach[v] and v in reach[u])
+        for v in range(n)
+    }
+    assert comp == expected
+
+
+# -- node2vec -----------------------------------------------------------------
+
+def test_biased_walks_follow_edges(spark):
+    from graph_data_science_spark.operators.node2vec import (
+        Node2VecConfig,
+        biased_random_walks,
+    )
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(i, (i + 5) % 12) for i in range(12)]
+    g = _graph(spark, edges)
+    walks = biased_random_walks(
+        g, Node2VecConfig(walks_per_node=2, walk_length=5, return_factor=2.0, in_out_factor=0.5)
+    )
+    eset = set(edges)
+    rows = walks.collect()
+    assert len(rows) == 24
+    for r in rows:
+        p = r["path"]
+        assert len(p) == 5  # no dead ends in this graph
+        for a, b in zip(p, p[1:]):
+            assert (a, b) in eset
+
+
+def test_node2vec_embeddings(spark):
+    from graph_data_science_spark.operators.node2vec import Node2VecConfig, node2vec
+
+    edges = [(i, (i + 1) % 10) for i in range(10)]
+    g = _graph(spark, edges)
+    res = node2vec(
+        g,
+        Node2VecConfig(
+            walks_per_node=4, walk_length=8, embedding_dimension=16, iterations=1
+        ),
+    )
+    rows = res.embeddings.collect()
+    assert len(rows) == 10  # full vocabulary coverage (every node walked)
+    assert all(len(r["embedding"]) == 16 for r in rows)
+
+
+# -- execution modes ----------------------------------------------------------
+
+def test_modes_stream_stats_mutate_write(spark, tmp_path):
+    from graph_data_science_spark.operators.modes import run
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (3, 0), (4, 4)])
+
+    df, meta = run(g, "pagerank", "stream", max_iterations=5)
+    assert set(df.columns) == {"id", "score"}
+    assert meta["estimate"]["planned_iterations"] == 5
+    assert meta["estimate"]["est_shuffle_bytes_per_superstep"] > 0
+
+    stats = run(g, "wcc", "stats")
+    assert stats["communityCount"] >= 1 and "p50" in stats
+
+    mutated, _ = run(g, "pagerank", "mutate", mutate_property="pr", max_iterations=5)
+    assert "pr" in mutated.nodes.columns
+    assert mutated.nodes.where(F.col("pr").isNull()).count() == 0
+
+    out = str(tmp_path / "pr_out")
+    path, _ = run(g, "labelprop", "write", write_path=out, max_iterations=3)
+    assert spark.read.parquet(path).count() == 5
+
+    cstats = run(g, "pagerank", "stats", max_iterations=5)
+    assert cstats["nodeCount"] == 5 and cstats["max"] >= cstats["min"]
+
+
+def test_modes_scc_and_errors(spark):
+    from graph_data_science_spark.operators.modes import run
+
+    g = _graph(spark, [(0, 1), (1, 0), (1, 2)])
+    df, _ = run(g, "scc", "stream")
+    comp = {r["id"]: r["component"] for r in df.collect()}
+    assert comp[0] == comp[1] != comp[2]
+    with pytest.raises(ValueError):
+        run(g, "nope", "stream")
+    with pytest.raises(ValueError):
+        run(g, "pagerank", "bogus")
+
+
+# -- KNN refinement -----------------------------------------------------------
+
+def test_knn_refine_recall(spark):
+    from graph_data_science_spark.operators import ann as ann_ops
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip("testdata not available")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+
+    exact = ann_ops.cosine_topk(emb, ids, k=5)
+    approx = ann_ops.knn(emb, k=5, rounds=2)
+    truth = set((r["query_id"], r["neighbor_id"]) for r in exact.collect())
+    got = set((r["query_id"], r["neighbor_id"]) for r in approx.collect())
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, f"recall@5 = {recall:.3f}"
+    emb.unpersist()
+
+
+# -- estimate surface ---------------------------------------------------------
+
+def test_cost_report_in_metrics(spark):
+    from graph_data_science_spark.operators import pagerank as pr_ops
+    from graph_data_science_spark.operators import wcc as wcc_ops
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0)])
+    res = pr_ops.page_rank(g, pr_ops.PageRankConfig(max_iterations=3))
+    est = [m["estimate"] for m in res.metrics if "estimate" in m]
+    assert est and est[0]["algorithm"] == "pagerank"
+    assert est[0]["planned_iterations"] == 3
+    assert est[0]["est_total_shuffle_bytes"] >= est[0]["est_shuffle_bytes_per_superstep"]
+
+    wres = wcc_ops.wcc(g)
+    assert any("estimate" in m for m in wres.metrics)

@@ -211,8 +211,8 @@ def q_labelprop_1iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full sync label propagation to convergence/10 iters — rows-only check
-    (iterative argmax fixpoint; no tractable single-shot SQL)."""
+    """Full sync label propagation (10 rounds, idempotent past convergence);
+    the oracle unrolls all 10 vote/argmax rounds as generated CTEs."""
     _tune(spark)
     g = _sparse_graph(spark, sf_dir)
     res = lp_ops.label_propagation(g, lp_ops.LabelPropagationConfig(max_iterations=10))
@@ -290,8 +290,8 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS hubs/authorities — rows-only (per-phase global L2 normalization
-    has no tractable recursive-SQL mirror at this shape)."""
+    """HITS hubs/authorities, 10 fixed iterations; the oracle unrolls the
+    phase/normalize sequence as generated CTEs (norms are plain scalars)."""
     _tune(spark)
     g = _dense_graph(spark, sf_dir)
     res = hits_ops.hits(g, hits_ops.HitsConfig(hits_iterations=10, tolerance=0.0))
@@ -408,20 +408,45 @@ def q_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (rows-only: bucket hashes use xxhash64
-    which DuckDB cannot replay)."""
-    emb = _embeddings(spark, sf_dir)
-    out = ann_ops.lsh_ann_topk(emb, k=5, query_ids=[0, 1, 2, 3, 4])
-    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    """KNN (LSH init + NN-Descent refinement) quality contract: recall@5 of
+    the approximate lists vs the exact brute-force top-5, as a checkable row
+    (the bucket hashes themselves use xxhash64, which SQL cannot replay —
+    the recall bound is the verifiable invariant)."""
+    emb = _embeddings(spark, sf_dir).cache()
+    exact = ann_ops.cosine_topk(
+        emb, [r["vec_id"] for r in emb.select("vec_id").collect()], k=5
+    ).select("query_id", "neighbor_id")
+    approx = ann_ops.knn(emb, k=5, rounds=2).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = n_hit / max(n_exact, 1)
+    return spark.createDataFrame(
+        [(int(n_exact > 0), bool(recall >= 0.9))],
+        "has_results long, recall_ge_090 boolean",
+    )
 
 
 def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-1 coloring assignment — rows-only (palette is schedule-defined)."""
+    """K-1 coloring CONTRACT row: zero monochromatic edges AND the greedy
+    palette bound (max color <= max undirected degree) — both checkable."""
     _tune(spark)
-    from graph_data_science_spark.operators.coloring import k1coloring
+    from graph_data_science_spark.operators.coloring import k1coloring, validate_coloring
 
     g = _sparse_graph(spark, sf_dir)
-    return k1coloring(g).colors.select("id", "color")
+    res = k1coloring(g)
+    conflicts = validate_coloring(g, res.colors)
+    e = g.edges.select("src", "dst")
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst")).distinct()
+    max_deg = (
+        sym.groupBy("src").count().agg(F.max("count")).collect()[0][0] or 0
+    )
+    max_color = res.colors.agg(F.max("color")).collect()[0][0] or 0
+    return spark.createDataFrame(
+        [(int(conflicts), bool(max_color <= max_deg))],
+        "conflicts long, palette_ok boolean",
+    )
 
 
 def q_k1coloring_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,27 +462,64 @@ def q_k1coloring_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Louvain communities — rows-only (hierarchical local-moving fixpoint)."""
+    """Louvain quality contract as a checkable row: full node cover, and the
+    found partition's (directed) modularity beats both zero and the fixed
+    id%7 grid baseline.  (The assignment itself is a hierarchical fixpoint
+    with no single-shot SQL; the invariant is the verifiable signal.)"""
     _tune(spark)
     from graph_data_science_spark.operators.louvain import louvain, LouvainConfig
 
     g = _sparse_graph(spark, sf_dir)
     res = louvain(g, LouvainConfig(max_levels=3, max_inner_iterations=5))
-    return res.communities.select("id", "community")
+    n_assigned = res.communities.select("id").distinct().count()
+    q_louv = comm_ops.modularity(g, res.communities)
+    base = g.nodes.select("id", (F.col("id") % 7).alias("community"))
+    q_base = comm_ops.modularity(g, base)
+    return spark.createDataFrame(
+        [(n_assigned, bool(q_louv > 0.0), bool(q_louv >= q_base))],
+        "n_assigned long, q_positive boolean, q_beats_grid boolean",
+    )
 
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans cluster assignment over embeddings — rows-only."""
+    """KMeans (Lloyd's) contract row: full cover and ZERO nearest-centroid
+    violations — every point sits in the argmin cluster of the returned
+    centroids (ties -> lowest cluster index)."""
     _tune(spark)
     from graph_data_science_spark.operators.kmeans import kmeans, KmeansConfig
 
     emb = _embeddings(spark, sf_dir)
     res = kmeans(emb, KmeansConfig(k=8, max_iterations=5))
-    return res.assignments.select("id", F.col("cluster").cast("long").alias("cluster"))
+    assigned = res.assignments
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    j = assigned.join(vecs, "id")
+
+    def d2(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.lit(0)
+    best_d = d2(res.centroids[0])
+    for ji in range(1, len(res.centroids)):
+        is_b = d2(res.centroids[ji]) < best_d
+        best = F.when(is_b, F.lit(ji)).otherwise(best)
+        best_d = F.when(is_b, d2(res.centroids[ji])).otherwise(best_d)
+    violations = j.where(F.col("cluster") != best).count()
+    return spark.createDataFrame(
+        [(assigned.count(), int(violations))], "n_assigned long, violations long"
+    )
 
 
 def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FastRP embeddings — rows-only (id, first 4 dims rounded)."""
+    """FastRP embeddings (id, first 2 dims rounded) — the oracle replays the
+    md5-seeded base vectors and both propagation+normalize iterations in SQL."""
     _tune(spark)
     from graph_data_science_spark.operators.fastrp import fastrp, FastRPConfig
 
@@ -471,13 +533,20 @@ def q_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded random walks — rows-only (xxhash64 not replayable in DuckDB)."""
+    """Seeded random walks — full path replayed by the SQL oracle (the
+    per-step neighbor pick is md5-hex-prefix arithmetic % degree)."""
     _tune(spark)
     from graph_data_science_spark.operators.walks import RandomWalkConfig, random_walks
 
     g = _sparse_graph(spark, sf_dir)
     w = random_walks(g, RandomWalkConfig(walks_per_node=1, walk_length=4))
-    return w.select("walk_id", "start", F.size("path").cast("long").alias("path_len"))
+    return w.select(
+        "walk_id",
+        "start",
+        F.array_join(F.transform("path", lambda x: x.cast("string")), "->").alias(
+            "path_str"
+        ),
+    )
 
 
 def q_split_test_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,7 +577,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "mime",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
 
 
@@ -581,8 +650,10 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end: documents -> synthetic web_pages(html) -> Arrow-UDF
-    link extraction -> id map -> edge build -> PageRank (rows-only: the html
-    parse is not SQL-expressible)."""
+    link extraction -> id map -> edge build -> PageRank.  The oracle rebuilds
+    the SAME md5-seeded link structure directly in SQL (the html round-trip is
+    covered separately by the byte-identical extractor tests) and replays 20
+    fixed PageRank message rounds."""
     _tune(spark)
     from graph_data_science_spark.sources.corpus import web_pages_from_documents
     from graph_data_science_spark.sources.edges import build_link_graph
@@ -590,10 +661,65 @@ def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     pages = web_pages_from_documents(docs)
     g = build_link_graph(pages)
-    res = pr_ops.page_rank(g, pr_ops.PageRankConfig(tolerance=1e-7, max_iterations=20))
+    res = pr_ops.page_rank(
+        g, pr_ops.PageRankConfig(tolerance=0.0, max_iterations=PR_ITERS + 1)
+    )
     return (
         res.scores.join(g.nodes, "id")
         .select("url", F.round("score", 6).alias("score"))
+    )
+
+
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-RETURNING single-source shortest paths (PathResult analog):
+    target, distance, and the full node sequence; the predecessor tree is
+    deterministic (min-id parent among optimal), so SQL replays the paths."""
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    src = g.nodes.agg(F.min("id")).collect()[0][0]
+    res = path_ops.shortest_paths(g, int(src), weighted=False)
+    return res.paths.select(
+        F.col("target"),
+        F.round("total_cost", 6).alias("distance"),
+        F.array_join(F.transform("node_ids", lambda x: x.cast("string")), "->").alias(
+            "path_str"
+        ),
+    )
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (comp = min member id), checked against
+    a full mutual-reachability closure computed in SQL."""
+    _tune(spark)
+    from graph_data_science_spark.operators.scc import scc
+
+    g = _sparse_graph(spark, sf_dir)
+    return scc(g).components.select("id", "comp")
+
+
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec contract row: full vocabulary coverage (every node walks, so
+    every node gets an embedding), correct dimension, all-finite values."""
+    _tune(spark)
+    from graph_data_science_spark.operators.node2vec import Node2VecConfig, node2vec
+
+    g = _sparse_graph(spark, sf_dir)
+    res = node2vec(
+        g,
+        Node2VecConfig(
+            walks_per_node=2, walk_length=10, embedding_dimension=32, iterations=1,
+            return_factor=2.0, in_out_factor=0.5,
+        ),
+    )
+    emb = res.embeddings
+    n_rows = emb.count()
+    bad = emb.where(
+        F.exists("embedding", lambda x: F.isnan(x) | (F.abs(x) > 1e6))
+    ).count()
+    dim_ok = emb.where(F.size("embedding") != 32).count() == 0
+    return spark.createDataFrame(
+        [(n_rows, int(bad), bool(dim_ok))],
+        "n_embedded long, n_nonfinite long, dim_ok boolean",
     )
 
 
@@ -653,6 +779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "pregel_reach": q_pregel_reach,
         "corpus_pagerank": q_corpus_pagerank,
+        "shortest_path": q_shortest_path,
+        "scc": q_scc,
+        "node2vec": q_node2vec,
     }
 
 
@@ -810,6 +939,310 @@ corners AS (
     SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
   ) GROUP BY id
 )"""
+
+
+def _h6(expr: str) -> str:
+    """SQL: base-16 decode of the first 6 chars of hex-string `expr` — the
+    DuckDB replay of Spark's conv(substring(md5(...), 1, 6), 16, 10)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+def _sql_hits(iters: int) -> str:
+    """Unrolled phase/normalize CTE chain mirroring operators/hits.py."""
+    parts = [
+        f"WITH {SQL_EDGES.replace('edges AS (', 'edges AS MATERIALIZED (')}, {SQL_NODES},\n"
+        "s0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS auth, 1.0::DOUBLE AS hub FROM nodes)"
+    ]
+    norm = "(SELECT CASE WHEN SQRT(SUM(v*v)) > 0 THEN SQRT(SUM(v*v)) ELSE 1.0 END FROM {t})"
+    for t in range(1, iters + 1):
+        p = f"s{t - 1}"
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+  SELECT n.id, COALESCE(x.s, 0.0) AS v, n.hub
+  FROM {p} n LEFT JOIN (
+    SELECT e.dst AS id, SUM(s.hub) AS s
+    FROM {p} s JOIN edges e ON e.src = s.id GROUP BY e.dst
+  ) x ON x.id = n.id
+),
+a{t}n AS MATERIALIZED (SELECT id, v / {norm.format(t=f'a{t}')} AS auth, hub FROM a{t}),
+h{t} AS MATERIALIZED (
+  SELECT n.id, n.auth, COALESCE(x.s, 0.0) AS v
+  FROM a{t}n n LEFT JOIN (
+    SELECT e.src AS id, SUM(a.auth) AS s
+    FROM a{t}n a JOIN edges e ON e.dst = a.id GROUP BY e.src
+  ) x ON x.id = n.id
+),
+s{t} AS MATERIALIZED (SELECT id, auth, v / {norm.format(t=f'h{t}')} AS hub FROM h{t})""")
+    parts.append(
+        f"\nSELECT id, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub FROM s{iters}"
+    )
+    return "".join(parts)
+
+
+def _sql_labelprop_full(iters: int) -> str:
+    """Unrolled sync label-propagation rounds (vote -> argmax, ties -> min)."""
+    parts = [
+        f"WITH {SQL_EDGES2.replace('edges2 AS (', 'edges2 AS MATERIALIZED (')}, {SQL_NODES2},\n"
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes2)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+v{t} AS MATERIALIZED (
+  SELECT e.src AS id, l.label AS lbl, COUNT(*)::DOUBLE AS w
+  FROM edges2 e JOIN l{t - 1} l ON l.id = e.dst GROUP BY 1, 2
+),
+t{t} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, lbl ASC) AS rn
+    FROM v{t}
+  ) WHERE rn = 1
+),
+l{t} AS MATERIALIZED (
+  SELECT n.id, COALESCE(t.lbl, n.label) AS label
+  FROM l{t - 1} n LEFT JOIN t{t} t ON t.id = n.id
+)""")
+    parts.append(f"\nSELECT id, CAST(label AS BIGINT) AS label FROM l{iters}")
+    return "".join(parts)
+
+
+def _sql_corpus_pagerank(iters: int) -> str:
+    """Rebuild the md5-seeded corpus link structure (sources/corpus.py
+    web_pages_from_documents + sources/edges.py build_link_graph: dedup
+    SINGLE, self-links kept, all docs are nodes) and replay fixed-iteration
+    PageRank; output keyed by url."""
+    n = "CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)"
+    hd = _h6("md5(doc_id || ':deg:42')")
+    ht = _h6("md5(doc_id || ':' || k || ':tgt:42')")
+    hu = _h6("md5(doc_id || ':' || k || ':u:42')")
+    return f"""WITH RECURSIVE cdeg AS (
+  SELECT doc_id,
+         LEAST(64, CAST(FLOOR(4.0 * POW({hd} / 16777216.0 + 1e-9, -0.5)) AS BIGINT)) AS deg
+  FROM documents
+),
+ck AS (SELECT doc_id, UNNEST(range(0, deg)) AS k FROM cdeg),
+ctgt AS (
+  SELECT doc_id AS src,
+         CASE WHEN ({ht}) % 5 < 2
+              THEN CAST(FLOOR({n} * POW(({hu}) / 16777216.0, 3.0)) AS BIGINT)
+              ELSE CAST(FLOOR({n} * (({hu}) / 16777216.0)) AS BIGINT)
+         END AS dst
+  FROM ck
+),
+cedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ctgt),
+cnodes AS (SELECT doc_id AS id FROM documents),
+cdegpr AS (SELECT src, COUNT(*)::DOUBLE AS degree FROM cedges GROUP BY src),
+pr(iter, id, rank, delta) AS (
+  SELECT 0, id, 0.15::DOUBLE, 0.15::DOUBLE FROM cnodes
+  UNION ALL
+  SELECT p.iter + 1, p.id,
+         p.rank + 0.85 * COALESCE(m.msg, 0.0),
+         0.85 * COALESCE(m.msg, 0.0)
+  FROM (SELECT * FROM pr WHERE iter < {iters}) p
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p2.delta / d.degree) AS msg
+    FROM pr p2 JOIN cdegpr d ON d.src = p2.id JOIN cedges e ON e.src = p2.id
+    GROUP BY e.dst
+  ) m ON m.id = p.id
+)
+SELECT 'https://corpus.example.org/doc/' || id AS url, ROUND(rank, 6) AS score
+FROM pr WHERE iter = {iters}"""
+
+
+def _sql_fastrp(dim: int, weights: tuple) -> str:
+    """Replay md5-seeded base vectors + per-iteration neighbor-mean +
+    L2-normalize (operators/fastrp.py); acc = sum of weighted iterations."""
+    hb = _h6("md5(id || ':' || d || ':42')")
+    sqrt3 = "1.7320508075688772"
+    parts = [f"""WITH {SQL_EDGES2}, {SQL_NODES2},
+dims AS (SELECT UNNEST(range(0, {dim})) AS d),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges2 UNION ALL SELECT dst AS src, src AS dst FROM edges2
+  ) WHERE src <> dst
+),
+b0 AS (
+  SELECT n.id, dims.d,
+         CASE ({hb}) % 6 WHEN 0 THEN {sqrt3} WHEN 1 THEN -{sqrt3} ELSE 0.0 END AS v
+  FROM nodes2 n, dims
+),
+e0 AS MATERIALIZED (
+  SELECT id, d, v / (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END) AS v
+  FROM (SELECT id, d, v, SQRT(SUM(v * v) OVER (PARTITION BY id)) AS nrm FROM b0)
+)"""]
+    n_iter = len(weights)
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+r{t} AS MATERIALIZED (
+  SELECT s.src AS id, p.d, AVG(p.v) AS v
+  FROM sym s JOIN e{t - 1} p ON p.id = s.dst
+  GROUP BY s.src, p.d
+),
+f{t} AS (
+  SELECT nd.id, nd.d, COALESCE(r.v, 0.0) AS v
+  FROM (SELECT n.id, dims.d FROM nodes2 n, dims) nd
+  LEFT JOIN r{t} r ON r.id = nd.id AND r.d = nd.d
+),
+e{t} AS MATERIALIZED (
+  SELECT id, d, v / (CASE WHEN nrm > 0 THEN nrm ELSE 1.0 END) AS v
+  FROM (SELECT id, d, v, SQRT(SUM(v * v) OVER (PARTITION BY id)) AS nrm FROM f{t})
+)""")
+    acc_terms = " + ".join(
+        f"{float(weights[t - 1])} * e{t}.v"
+        for t in range(1, n_iter + 1)
+        if float(weights[t - 1]) != 0.0
+    )
+    joins = "".join(
+        f" JOIN e{t} ON e{t}.id = e1.id AND e{t}.d = e1.d"
+        for t in range(2, n_iter + 1)
+    )
+    parts.append(f""",
+acc AS (SELECT e1.id, e1.d, {acc_terms} AS v FROM e1{joins})
+SELECT a0.id, ROUND(a0.v, 6) AS e0, ROUND(a1.v, 6) AS e1
+FROM (SELECT id, v FROM acc WHERE d = 0) a0
+JOIN (SELECT id, v FROM acc WHERE d = 1) a1 ON a1.id = a0.id""")
+    return "".join(parts)
+
+
+SQL_RANDOM_WALKS = f"""WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2},
+adj AS (SELECT src, LIST(dst ORDER BY dst) AS nbrs FROM edges2 GROUP BY src),
+w(walk_id, start, cur, step, path) AS (
+  SELECT id, id, id, 0, [id] FROM nodes2
+  UNION ALL
+  SELECT walk_id, start, nxt, step + 1, list_append(path, nxt)
+  FROM (
+    SELECT w.walk_id, w.start, w.step, w.path,
+           a.nbrs[CAST(({_h6("md5(w.walk_id || ':' || (w.step + 1) || ':42')")})
+                       % len(a.nbrs) + 1 AS INT)] AS nxt
+    FROM w JOIN adj a ON a.src = w.cur
+    WHERE w.step < 3
+  )
+)
+SELECT walk_id, start, list_aggregate(path, 'string_agg', '->') AS path_str
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY step DESC) AS rn FROM w
+) WHERE rn = 1"""
+
+
+SQL_PREGEL_REACH = f"""WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2},
+roots AS (SELECT id FROM nodes2 WHERE id % 100 = 0),
+walk(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT w.root, e.dst, w.d + 1 FROM walk w JOIN edges2 e ON e.src = w.id
+  WHERE w.d < 15
+),
+best AS (SELECT id, MAX(root) AS b FROM walk GROUP BY id)
+SELECT n.id,
+       COALESCE(CAST(b.b AS DOUBLE), -1.0) AS best
+FROM nodes2 n LEFT JOIN best b ON b.id = n.id"""
+
+
+SQL_SHORTEST_PATH = f"""WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2},
+srcn AS (SELECT MIN(id) AS s FROM nodes2),
+walk(id, d) AS (
+  SELECT s, 0 FROM srcn
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges2 e ON e.src = w.id WHERE w.d < 60
+),
+dist AS MATERIALIZED (SELECT id, MIN(d) AS d FROM walk GROUP BY id),
+preds AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(e.src) AS pred
+  FROM edges2 e JOIN dist a ON a.id = e.src JOIN dist b ON b.id = e.dst
+  WHERE a.d + 1 = b.d
+  GROUP BY e.dst
+),
+chain(id, cur, n) AS (
+  SELECT id, id, 0 FROM dist
+  UNION ALL
+  SELECT c.id, p.pred, c.n + 1 FROM chain c JOIN preds p
+    ON p.id = c.cur AND c.cur <> (SELECT s FROM srcn)
+),
+paths AS (
+  SELECT id, STRING_AGG(CAST(cur AS VARCHAR), '->' ORDER BY n DESC) AS path_str
+  FROM chain GROUP BY id
+)
+SELECT d.id AS target, ROUND(CAST(d.d AS DOUBLE), 6) AS distance, p.path_str
+FROM dist d JOIN paths p ON p.id = d.id"""
+
+
+SQL_SCC = f"""WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2},
+reach(a, b) AS (
+  SELECT id, id FROM nodes2
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges2 e ON e.src = r.b
+)
+SELECT r1.a AS id, MIN(r1.b) AS comp
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY r1.a"""
+
+
+def _sql_betweenness(levels: int) -> str:
+    """Full Brandes replay for the sampled sources: BFS distances, unrolled
+    per-level sigma accumulation, unrolled backward dependency sweep."""
+    parts = [f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
+roots AS (SELECT id FROM nodes WHERE id % 100 = 0),
+walkb(root, id, d) AS (
+  SELECT id, id, 0 FROM roots
+  UNION
+  SELECT w.root, e.dst, w.d + 1 FROM walkb w JOIN edges e ON e.src = w.id
+  WHERE w.d < {levels}
+),
+distb AS MATERIALIZED (SELECT root, id, MIN(d) AS d FROM walkb GROUP BY root, id),
+sig0 AS MATERIALIZED (SELECT id AS root, id, 1.0::DOUBLE AS sigma FROM roots)"""]
+    for l in range(1, levels + 1):
+        parts.append(f""",
+sig{l} AS MATERIALIZED (
+  SELECT w.root, e.dst AS id, SUM(w.sigma) AS sigma
+  FROM sig{l - 1} w JOIN edges e ON e.src = w.id
+  JOIN distb d ON d.root = w.root AND d.id = e.dst AND d.d = {l}
+  GROUP BY w.root, e.dst
+)""")
+    # backward sweep: delta at the deepest level is 0
+    parts.append(f""",
+del{levels} AS MATERIALIZED (SELECT root, id, 0.0::DOUBLE AS delta FROM sig{levels})""")
+    for l in range(levels - 1, 0, -1):
+        parts.append(f""",
+del{l} AS MATERIALIZED (
+  SELECT s.root, s.id,
+         COALESCE(SUM((s.sigma / sw.sigma) * (1.0 + dw.delta)), 0.0) AS delta
+  FROM sig{l} s
+  LEFT JOIN edges e ON e.src = s.id
+  LEFT JOIN sig{l + 1} sw ON sw.root = s.root AND sw.id = e.dst
+  LEFT JOIN del{l + 1} dw ON dw.root = s.root AND dw.id = e.dst
+  GROUP BY s.root, s.id, s.sigma
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT root, id, delta FROM del{l}" for l in range(1, levels + 1)
+    )
+    parts.append(f""",
+alldel AS ({union}),
+bc AS (SELECT id, SUM(delta) AS score FROM alldel WHERE id <> root GROUP BY id)
+SELECT n.id, ROUND(COALESCE(b.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN bc b ON b.id = n.id""")
+    return "".join(parts)
+
+
+_SHA4 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(sh, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+SQL_MULTIMODAL = f"""WITH m AS (
+  SELECT t.range AS media_id,
+         'MEDIA:' || md5(CAST(t.range AS VARCHAR) || '42') AS payload
+  FROM range(200) t
+),
+h AS (SELECT media_id, payload, sha256(payload) AS sh FROM m)
+SELECT media_id,
+       ['image/jpeg', 'image/png', 'audio/wav'][CAST(media_id % 3 AS INT) + 1] AS mime,
+       CAST(length(payload) AS BIGINT) AS n_bytes,
+       ROUND(CAST(CAST(({_SHA4}) / 65535.0 - 0.5 AS FLOAT) AS DOUBLE), 6) AS f0
+FROM h"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1138,6 +1571,33 @@ FROM dots d JOIN norms n1 ON n1.vec_id = d.id1
 WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35"""
 
     sqls["k1coloring_valid"] = "SELECT CAST(0 AS BIGINT) AS conflicts"
+    sqls["k1coloring"] = (
+        "SELECT CAST(0 AS BIGINT) AS conflicts, TRUE AS palette_ok"
+    )
+    sqls["louvain"] = f"""WITH {SQL_EDGES2}, {SQL_NODES2}
+SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_assigned,
+       TRUE AS q_positive, TRUE AS q_beats_grid"""
+    sqls["kmeans"] = (
+        "SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_assigned, "
+        "CAST(0 AS BIGINT) AS violations"
+    )
+    sqls["ann_lsh_topk"] = (
+        "SELECT CAST(1 AS BIGINT) AS has_results, TRUE AS recall_ge_090"
+    )
+    sqls["node2vec"] = f"""WITH {SQL_EDGES2}, {SQL_NODES2}
+SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_embedded,
+       CAST(0 AS BIGINT) AS n_nonfinite, TRUE AS dim_ok"""
+
+    sqls["hits"] = _sql_hits(10)
+    sqls["labelprop"] = _sql_labelprop_full(10)
+    sqls["pregel_reach"] = SQL_PREGEL_REACH
+    sqls["corpus_pagerank"] = _sql_corpus_pagerank(PR_ITERS)
+    sqls["fastrp"] = _sql_fastrp(32, (0.0, 1.0, 1.0))
+    sqls["random_walks"] = SQL_RANDOM_WALKS
+    sqls["betweenness"] = _sql_betweenness(6)
+    sqls["shortest_path"] = SQL_SHORTEST_PATH
+    sqls["scc"] = SQL_SCC
+    sqls["multimodal_features"] = SQL_MULTIMODAL
 
     sql_msbfs = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
 roots AS (SELECT id FROM nodes WHERE id % 50 = 0),
@@ -1185,8 +1645,10 @@ bucketed AS (SELECT src, dst, {hexval} AS bucket FROM hashed)"""
         split_pre + f"\nSELECT src, dst FROM bucketed WHERE bucket >= {cut}"
     )
 
-    # labelprop (full), hits, ann_lsh_topk, corpus_pagerank, k1coloring,
-    # louvain, kmeans, fastrp, random_walks, multimodal_features: rows-only
-    # (iterative argmax fixpoint / per-phase global normalization / xxhash64
-    # bucketing / Arrow-UDF html parsing are not DuckDB-expressible).
+    # Every queries() entry now has an oracle: exact SQL replays where the
+    # computation is deterministic arithmetic (hits/labelprop unrolled CTEs,
+    # fastrp/random_walks/corpus_pagerank md5-seeded replays, betweenness
+    # unrolled Brandes, shortest_path pred-chain, scc mutual reachability,
+    # multimodal sha256 replay), invariant-contract rows where the fixpoint
+    # is schedule-defined (louvain/kmeans/k1coloring/node2vec/ann_lsh_topk).
     return sqls

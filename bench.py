@@ -29,6 +29,9 @@ N_BENCH = 99991  # node space of the lineitem-derived benchmark graph (per copy)
 # REPLICATE disjoint id-shifted copies so supersteps are compute-bound
 # rather than task-overhead-bound (same shuffle volume per copy)
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "1"))
+# superstep window: K supersteps per checkpoint/barrier (pagerank.py
+# checkpoint_every) — amortizes the serial driver floor across K supersteps
+CKPT_EVERY = int(os.environ.get("SPARK_GRAFT_CHECKPOINT_EVERY", "4"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -97,24 +100,34 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     t0 = time.time()
     res = pr_ops.page_rank(
         g,
-        pr_ops.PageRankConfig(tolerance=1e-6, max_iterations=100),
+        pr_ops.PageRankConfig(
+            tolerance=1e-6, max_iterations=100, checkpoint_every=CKPT_EVERY
+        ),
     )
     res.scores.agg(F.sum("score")).collect()
     dt = time.time() - t0
     times["q1_pagerank_conv"] = dt
     extra["pagerank_iters"] = res.ran_iterations
     extra["pagerank_converged"] = bool(res.did_converge)
+    extra["checkpoint_every"] = CKPT_EVERY
     extra["edges_per_sec_per_superstep"] = (
         n_edges * max(res.ran_iterations, 1) / dt if dt > 0 else 0.0
     )
     # steady-state throughput: median per-superstep wall excluding the
-    # JIT/shuffle-warmup supersteps (robust to GC spikes)
-    walls = [m["wall_s"] for m in res.metrics]
-    per = [walls[0]] + [b - a for a, b in zip(walls, walls[1:])]
-    if len(per) > 6:
+    # JIT/shuffle-warmup window (robust to GC spikes).  Metrics rows land at
+    # window boundaries (one per K supersteps), so each boundary delta is
+    # divided by the supersteps it covers.
+    steps = [m["superstep"] for m in res.metrics if "wall_s" in m]
+    walls = [m["wall_s"] for m in res.metrics if "wall_s" in m]
+    per = []
+    prev_s, prev_w = 0, 0.0
+    for s, wl in zip(steps, walls):
+        per.append((wl - prev_w) / max(s - prev_s, 1))
+        prev_s, prev_w = s, wl
+    if len(per) > 2:
         import statistics
 
-        med = statistics.median(per[4:])
+        med = statistics.median(per[1:])
         extra["superstep_wall_median_s"] = round(med, 3)
         extra["edges_per_sec_per_superstep_steady"] = round(n_edges / med, 0)
 

@@ -227,6 +227,37 @@ class LinkGraph:
             )
         return LinkGraph(nodes=nodes, edges=edges, orientation=self.orientation)
 
+    # -- property streaming / removal (proc/catalog analogs) ---------------------
+    def stream_node_properties(self, *props: str) -> DataFrame:
+        """gds.graph.streamNodeProperties analog: (id, prop...) rows."""
+        missing = [p for p in props if p not in self.nodes.columns]
+        if missing:
+            raise ValueError(f"unknown node properties: {missing}")
+        return self.nodes.select("id", *props)
+
+    def stream_relationship_properties(self) -> DataFrame:
+        """gds.graph.streamRelationshipProperties analog."""
+        return self.edges.select("src", "dst", "weight")
+
+    def remove_node_properties(self, *props: str) -> "LinkGraph":
+        """gds.graph.removeNodeProperties analog (immutable: new projection)."""
+        keep = [c for c in self.nodes.columns if c not in set(props)]
+        if "id" not in keep:
+            raise ValueError("cannot remove the id column")
+        return LinkGraph(
+            nodes=self.nodes.select(*keep), edges=self.edges,
+            orientation=self.orientation,
+        )
+
+    def delete_relationships(self, predicate: str) -> "LinkGraph":
+        """gds.graph.deleteRelationships analog: drop edges MATCHING the
+        Catalyst predicate expression (immutable: new projection)."""
+        return LinkGraph(
+            nodes=self.nodes,
+            edges=self.edges.where(~F.expr(predicate)),
+            orientation=self.orientation,
+        )
+
     # -- stats -------------------------------------------------------------------
     def node_count(self) -> int:
         return self.nodes.count()

@@ -148,3 +148,26 @@ class TestPaths:
         res = sssp_delta(g, 0)
         d = {r["id"]: r["distance"] for r in res.distances.collect()}
         assert d == {0: 0.0, 2: 1.0, 1: 2.0, 3: 3.0}
+
+
+def test_property_stream_and_removal(spark):
+    from pyspark.sql import functions as F
+
+    g = LinkGraph.from_edges(spark, [(0, 1, 2.0), (1, 2, 3.0)], weighted=True)
+    g2 = LinkGraph(
+        nodes=g.nodes.withColumn("score", F.col("id") * 1.5), edges=g.edges
+    )
+    rows = g2.stream_node_properties("score").collect()
+    assert {r["id"]: r["score"] for r in rows} == {0: 0.0, 1: 1.5, 2: 3.0}
+    assert g2.stream_relationship_properties().count() == 2
+
+    g3 = g2.remove_node_properties("score")
+    assert g3.nodes.columns == ["id"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        g2.stream_node_properties("nope")
+
+    g4 = g2.delete_relationships("weight > 2.5")
+    assert g4.relationship_count() == 1
+    assert g4.edges.collect()[0]["dst"] == 1

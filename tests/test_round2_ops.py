@@ -222,3 +222,37 @@ def test_cost_report_in_metrics(spark):
 
     wres = wcc_ops.wcc(g)
     assert any("estimate" in m for m in wres.metrics)
+
+
+# -- checkpoint_every window (bench default K=4) ------------------------------
+
+def test_pagerank_checkpoint_window_equivalence(spark):
+    from graph_data_science_spark.operators import pagerank as pr_ops
+
+    edges = [(i, (i * 3 + 1) % 23) for i in range(23)] + [
+        (i, (i * 7 + 2) % 23) for i in range(23)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    g = _graph(spark, edges)
+    r1 = pr_ops.page_rank(g, pr_ops.PageRankConfig(tolerance=0.0, max_iterations=13))
+    r4 = pr_ops.page_rank(
+        g, pr_ops.PageRankConfig(tolerance=0.0, max_iterations=13, checkpoint_every=4)
+    )
+    s1 = {r["id"]: r["score"] for r in r1.scores.collect()}
+    s4 = {r["id"]: r["score"] for r in r4.scores.collect()}
+    assert s1.keys() == s4.keys()
+    for k in s1:
+        assert abs(s1[k] - s4[k]) < 1e-12
+
+
+def test_pagerank_checkpoint_window_convergence(spark):
+    from graph_data_science_spark.operators import pagerank as pr_ops
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0)])
+    r = pr_ops.page_rank(
+        g, pr_ops.PageRankConfig(tolerance=1e-6, max_iterations=100, checkpoint_every=4)
+    )
+    assert r.did_converge
+    s = {x["id"]: x["score"] for x in r.scores.collect()}
+    # symmetric ring -> equal scores summing to ~n*alpha/(1-d) mass
+    assert abs(s[0] - s[1]) < 1e-6 and abs(s[1] - s[2]) < 1e-6

@@ -179,6 +179,18 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     ann_ops.lsh_ann_topk(emb, k=5).count()
     times["q7_lsh_ann"] = time.time() - t0
 
+    # -- q8: candidate-driven n-gram Jaccard verification pass ---------------
+    # The intersection join is bounded by |LSH candidates| x grams-per-doc —
+    # never a raw-ngram self-join; candidate count recorded as evidence.
+    t0 = time.time()
+    cands = dedup_ops.lsh_candidate_pairs(docs, bands=4, rows_per_band=4).cache()
+    n_cands = cands.count()
+    n_verified = dedup_ops.ngram_jaccard_pairs(docs, candidate_pairs=cands).count()
+    cands.unpersist()
+    times["q8_ngram_verify"] = time.time() - t0
+    extra["q8_candidate_pairs"] = n_cands
+    extra["q8_verified_pairs"] = n_verified
+
     g.nodes.unpersist()
     g.edges.unpersist()
     return times, extra

@@ -78,8 +78,12 @@ def betweenness_centrality(
         levels = visited.cache()
         max_level = levels.agg(F.max("level")).collect()[0][0] or 0
 
-        # backward phase: delta per (root, id), deepest level first
-        acc = None  # (root, id, score) accumulated dependencies
+        # backward phase: delta per (root, id), deepest level first.
+        # Per-level dependency frames are checkpointed individually and only
+        # UNIONED LAZILY at the end — the accumulator is never re-written per
+        # level (previously acc was union-checkpointed every level, an
+        # O(levels * pairs) rewrite).
+        acc_parts: list[DataFrame] = []
         delta_next = None  # (root, id, delta) of level L+1
         for lvl in range(max_level, 0, -1):
             lvl_nodes = levels.where(F.col("level") == lvl).select(
@@ -122,17 +126,20 @@ def betweenness_centrality(
                 .select("root", F.col("p").alias("id"), "delta")
             )
             delta_next = ckpt.checkpoint(contrib, lvl, name="delta")
-            # dependencies of this level's nodes contribute to bc (v != root)
+            # dependencies of this level's nodes contribute to bc (v != root);
+            # checkpointed once per level, unioned lazily below
             scored = cur_delta.where(F.col("id") != F.col("root")).select(
                 "root", "id", F.col("delta").alias("score")
             )
-            acc = scored if acc is None else acc.unionByName(scored)
-            acc = ckpt.checkpoint(acc, lvl, name="acc")
+            acc_parts.append(ckpt.checkpoint(scored, lvl, name=f"acc_l{lvl}"))
 
     edges.unpersist()
     levels.unpersist()
-    if acc is None:
+    if not acc_parts:
         return graph.nodes.select("id", F.lit(0.0).alias("score"))
+    acc = acc_parts[0]
+    for part in acc_parts[1:]:
+        acc = acc.unionByName(part)
     bc = acc.groupBy("id").agg(F.sum("score").alias("score"))
     return (
         graph.nodes.select("id")

@@ -126,8 +126,19 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
         )
     else:
         init = F.lit(alpha)
-    state = graph.nodes.select("id", init.alias("rank"), init.alias("delta"))
-    state = ckpt.checkpoint(state, 0)
+
+    # resume: with a durable checkpoint path, continue from the latest
+    # COMMITTED superstep (north rule: resumable mid-iteration; a partial
+    # write without the _COMMITTED manifest is never trusted).
+    start_t = 0
+    resumed = ckpt.latest_superstep()
+    if resumed is not None and 0 < resumed < cfg.max_iterations:
+        state = ckpt.load(resumed)
+        start_t = resumed
+        ckpt.log(resumed, algorithm="pagerank", resumed_from=resumed)
+    else:
+        state = graph.nodes.select("id", init.alias("rank"), init.alias("delta"))
+        state = ckpt.checkpoint(state, 0)
 
     # ranIterations mirrors Pregel.run (pregel/.../Pregel.java:154-190): on
     # convergence the 0-based index of the converged iteration is reported;
@@ -153,7 +164,7 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
     with no_aqe(spark):
         delta = None  # in-window chained (id, delta) stream; None = at boundary
         window: list = []
-        for t in range(1, cfg.max_iterations):
+        for t in range(start_t + 1, cfg.max_iterations):
             # superstep t receives what superstep t-1 sent; on the initial
             # superstep every node sends regardless of tolerance
             # (PageRankComputation.java:90 `delta > tolerance || isInitialSuperstep`).

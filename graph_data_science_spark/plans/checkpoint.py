@@ -71,7 +71,13 @@ class SuperstepCheckpointer:
 
     # -- state ---------------------------------------------------------------
     def checkpoint(self, df: DataFrame, superstep: int, name: str = "state") -> DataFrame:
-        """Materialize superstep state, truncating lineage AND plan stats."""
+        """Materialize superstep state, truncating lineage AND plan stats.
+
+        The read-back passes the (already known) schema explicitly — schema
+        inference otherwise runs a footer-listing Spark job per superstep,
+        doubling the serial driver floor of every iteration loop.
+        """
+        schema = df.schema
         if self._ephemeral:
             p = os.path.join(self._tmp, f"{name}_superstep={superstep:05d}")
             df.write.mode("overwrite").parquet(p)
@@ -79,7 +85,7 @@ class SuperstepCheckpointer:
             hist.append(p)
             while len(hist) > self.EPHEMERAL_KEEP:
                 shutil.rmtree(hist.pop(0), ignore_errors=True)
-            return self.spark.read.parquet(p)
+            return self.spark.read.schema(schema).parquet(p)
         p = self._state_path(superstep, name)
         df.write.mode("overwrite").parquet(p)
         # durable mode: _SUCCESS markers are disabled and the v2 committer
@@ -89,7 +95,7 @@ class SuperstepCheckpointer:
         parts = sorted(f for f in os.listdir(p) if f.startswith("part-"))
         with open(os.path.join(p, "_COMMITTED"), "w") as fh:
             json.dump({"superstep": superstep, "name": name, "parts": parts}, fh)
-        return self.spark.read.parquet(p)
+        return self.spark.read.schema(schema).parquet(p)
 
     def _state_path(self, superstep: int, name: str = "state") -> str:
         return os.path.join(self.path, "state", f"{name}_superstep={superstep:05d}")

@@ -24,6 +24,7 @@ from graph_data_science_spark.operators.graph import LinkGraph, Aggregation
 from graph_data_science_spark.operators import pagerank as pr_ops
 
 cpus = int(sys.argv[1])
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=cpus,
                   extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
 li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
@@ -35,22 +36,27 @@ e = e.crossJoin(copies).select((F.col("src") + F.col("copy")*N).alias("src"),
                                (F.col("dst") + F.col("copy")*N).alias("dst"))
 g = LinkGraph.from_edges(spark, e, aggregation=Aggregation.SINGLE).cache()
 ne = g.relationship_count()
-res = pr_ops.page_rank(g, pr_ops.PageRankConfig(tolerance=1e-6, max_iterations=31))
-walls = [m["wall_s"] for m in res.metrics]
-per = [walls[0]] + [b - a for a, b in zip(walls, walls[1:])]
-med = statistics.median(per[4:])
+res = pr_ops.page_rank(g, pr_ops.PageRankConfig(
+    tolerance=1e-6, max_iterations=31, checkpoint_every=K))
+rows = [m for m in res.metrics if "wall_s" in m]
+per = []  # per-SUPERSTEP wall: boundary deltas / supersteps in the window
+ps, pw = 0, 0.0
+for m in rows:
+    per.append((m["wall_s"] - pw) / max(m["superstep"] - ps, 1))
+    ps, pw = m["superstep"], m["wall_s"]
+med = statistics.median(per[1:])
 import json as _json
-print("SAMPLE " + _json.dumps({"cpus": cpus, "edges": ne,
+print("SAMPLE " + _json.dumps({"cpus": cpus, "edges": ne, "ckpt_every": K,
     "median_superstep_s": round(med, 3), "steady_eps": round(ne / med),
     "per_superstep": [round(x, 2) for x in per]}))
 spark.stop()
 '''
 
 
-def run_sample(cpus: int) -> dict:
+def run_sample(cpus: int, k: int = 4) -> dict:
     code = WORKER % {"repo": REPO}
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus)],
+        [sys.executable, "-c", code, str(cpus), str(k)],
         capture_output=True, text=True, timeout=900,
     )
     for line in out.stdout.splitlines():
@@ -61,10 +67,11 @@ def run_sample(cpus: int) -> dict:
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     samples = {8: [], 32: []}
     for _ in range(n):
         for cpus in (8, 32):
-            s = run_sample(cpus)
+            s = run_sample(cpus, k)
             samples[cpus].append(s)
             print(f"local[{cpus}]: median={s['median_superstep_s']}s "
                   f"steady_eps={s['steady_eps']:,}")
@@ -80,7 +87,9 @@ def main():
         f.write("# BENCH — scaling evidence (local[8] vs local[32])\n\n")
         f.write(
             f"Same PageRank job (tol 1e-6, lineitem-derived link graph "
-            f"replicated 64x = {edges:,} edges, {len(samples[8])} samples per "
+            f"replicated 64x = {edges:,} edges, checkpoint window K="
+            f"{samples[8][0].get('ckpt_every', 1)} supersteps/barrier, "
+            f"{len(samples[8])} samples per "
             "level, levels alternated to control for shared-host noise).\n"
             "Sandbox proxy for the north rule's N vs 4N executor clusters.\n\n"
         )
@@ -105,9 +114,11 @@ def main():
             "multi-executor cluster amortizes over far larger per-superstep "
             "volumes; a pure-CPU multiprocessing baseline on this box tops "
             "out at ~0.72 efficiency for 8->32 vCPUs (SMT sharing), bounding "
-            "any engine's measurable efficiency here.  Steady-state medians "
-            "exclude the first 4 supersteps (one-time JIT + shuffle warmup "
-            "that long-running jobs amortize).\n\n"
+            "any engine's measurable efficiency here.  The K-superstep "
+            "checkpoint window (pagerank.py checkpoint_every) amortizes that "
+            "serial floor across K supersteps per barrier.  Steady-state "
+            "medians exclude the first checkpoint window (one-time JIT + "
+            "shuffle warmup that long-running jobs amortize).\n\n"
         )
         f.write("Raw samples:\n\n```json\n")
         for cpus in (8, 32):

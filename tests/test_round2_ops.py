@@ -256,3 +256,83 @@ def test_pagerank_checkpoint_window_convergence(spark):
     s = {x["id"]: x["score"] for x in r.scores.collect()}
     # symmetric ring -> equal scores summing to ~n*alpha/(1-d) mass
     assert abs(s[0] - s[1]) < 1e-6 and abs(s[1] - s[2]) < 1e-6
+
+
+# -- driver-barrier budget ----------------------------------------------------
+
+def test_jobs_per_iteration_budget(spark):
+    """One action per superstep: the Spark job count per iteration stays at
+    the checkpoint write (+ broadcast-scalar subjobs for HITS norms) — no
+    per-iteration collect()/count() barriers (previously HITS ran ~6)."""
+    from graph_data_science_spark.operators import pagerank as pr_ops
+    from graph_data_science_spark.operators import hits as hits_ops
+
+    sc = spark.sparkContext
+    edges = [(i, (i * 3 + 1) % 31) for i in range(31)] + [
+        (i, (i * 5 + 2) % 31) for i in range(31)
+    ]
+    g = LinkGraph.from_edges(spark, [(a, b) for a, b in edges if a != b])
+    g.edges.count()
+
+    def jobs():
+        return len(sc.statusTracker().getJobIdsForGroup(None))
+
+    # warm both paths once (shares caching, first-superstep setup)
+    pr_ops.page_rank(g, pr_ops.PageRankConfig(tolerance=0.0, max_iterations=3))
+    hits_ops.hits(g, hits_ops.HitsConfig(hits_iterations=2, tolerance=0.0))
+
+    j0 = jobs()
+    pr_ops.page_rank(g, pr_ops.PageRankConfig(tolerance=0.0, max_iterations=9))
+    pr_jobs = jobs() - j0
+
+    j0 = jobs()
+    hits_ops.hits(g, hits_ops.HitsConfig(hits_iterations=8, tolerance=0.0))
+    hits_jobs = jobs() - j0
+
+    # pagerank: 8 supersteps -> ~8 checkpoint writes + constant setup
+    assert pr_jobs <= 8 + 6, f"pagerank ran {pr_jobs} jobs for 8 supersteps"
+    # hits: 8 iterations -> 1 write + 2 broadcast-norm subjobs each
+    assert hits_jobs <= 8 * 3 + 6, f"hits ran {hits_jobs} jobs for 8 iterations"
+
+
+# -- durable checkpoint resume ------------------------------------------------
+
+def test_pagerank_resume_from_durable_checkpoint(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from graph_data_science_spark.operators import pagerank as pr_ops
+
+    edges = [(i, (i * 3 + 1) % 19) for i in range(19)]
+    g = _graph(spark, [(a, b) for a, b in edges if a != b])
+    ck = str(tmp_path / "pr_ck")
+
+    # fresh full run (no checkpoint) = golden
+    gold = pr_ops.page_rank(g, pr_ops.PageRankConfig(tolerance=0.0, max_iterations=9))
+    gold_s = {r["id"]: r["score"] for r in gold.scores.collect()}
+
+    # partial run to superstep 4, durable
+    pr_ops.page_rank(
+        g,
+        pr_ops.PageRankConfig(tolerance=0.0, max_iterations=5, checkpoint_path=ck),
+    )
+    # second run resumes from the committed superstep and continues to 8
+    res = pr_ops.page_rank(
+        g,
+        pr_ops.PageRankConfig(tolerance=0.0, max_iterations=9, checkpoint_path=ck),
+    )
+    assert any(m.get("resumed_from") == 4 for m in res.metrics)
+    got = {r["id"]: r["score"] for r in res.scores.collect()}
+    assert got.keys() == gold_s.keys()
+    for k in gold_s:
+        assert abs(got[k] - gold_s[k]) < 1e-12
+
+    # a state dir without the _COMMITTED manifest must be ignored
+    fake = _os.path.join(ck, "state", "state_superstep=00777")
+    _os.makedirs(fake)
+    with open(_os.path.join(fake, "part-00000-bogus.parquet"), "w") as f:
+        f.write("partial")
+    from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+
+    c2 = SuperstepCheckpointer(spark, ck)
+    assert c2.latest_superstep() == 8

@@ -723,6 +723,133 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest contract row: the forest has exactly
+    (nodes - components) edges, is cycle-free, and spans the same components
+    as WCC — all hard-checkable (the oracle recomputes nodes - components
+    via the recursive min-label closure)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.spanning import minimum_spanning_forest
+    from graph_data_science_spark.operators import wcc as wcc_ops2
+
+    g = _dense_weighted_graph(spark, sf_dir)
+    res = minimum_spanning_forest(g)
+    n_tree = res.edges.count()
+    # forest components must equal WCC components (same partition of nodes)
+    w = wcc_ops2.wcc(g).components
+    joined = res.components.withColumnRenamed("comp", "fc").join(
+        w.withColumnRenamed("comp", "wc"), "id"
+    )
+    # partitions equal iff the (fc, wc) pairing is a bijection
+    n_pairs = joined.select("fc", "wc").distinct().count()
+    n_fc = joined.select("fc").distinct().count()
+    n_wc = joined.select("wc").distinct().count()
+    return spark.createDataFrame(
+        [(int(n_tree), bool(n_pairs == n_fc == n_wc))],
+        "n_tree_edges long, components_match boolean",
+    )
+
+
+def q_max_k_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx max-3-cut contract row: full cover, partitions within [0,3),
+    and the achieved cut weight is >= the deterministic id%3 baseline cut
+    it starts from."""
+    _tune(spark)
+    from graph_data_science_spark.operators.maxkcut import _cut_weight, approx_max_k_cut
+
+    g = _sparse_graph(spark, sf_dir)
+    res = approx_max_k_cut(g, k=3, max_iterations=6)
+    base = g.nodes.select("id", (F.col("id") % 3).alias("partition"))
+    baseline = _cut_weight(g, base)
+    n = res.assignment.count()
+    k_ok = res.assignment.where(
+        (F.col("partition") < 0) | (F.col("partition") >= 3)
+    ).count() == 0
+    return spark.createDataFrame(
+        [(n, bool(k_ok), bool(res.cut_weight >= baseline))],
+        "n_assigned long, k_ok boolean, cut_ge_baseline boolean",
+    )
+
+
+def _geo_graph(spark: SparkSession, sf_dir: str) -> "LinkGraph":
+    """Deterministic geo graph over doc ids: grid coordinates + two out-edges
+    per node, weight = haversine distance x (1 + md5-u01) (admissible +
+    consistent for the haversine heuristic by construction)."""
+    docs = _documents(spark, sf_dir).select(F.col("doc_id").cast("long").alias("id"))
+    n = docs.count()
+    lat = (F.lit(10.0) + (F.col("id") % 100) * 0.1).alias("lat")
+    lon = (F.lit(20.0) + F.floor(F.col("id") / 100) * 0.1).alias("lon")
+    nodes = docs.select("id", lat, lon)
+
+    def tgt(mul, add):
+        return (F.col("id") * mul + add) % n
+
+    e = nodes.select("id", "lat", "lon", tgt(7, 3).alias("dst")).unionByName(
+        nodes.select("id", "lat", "lon", tgt(13, 7).alias("dst"))
+    ).where(F.col("id") != F.col("dst"))
+    d_lat = F.lit(10.0) + (F.col("dst") % 100) * 0.1
+    d_lon = F.lit(20.0) + F.floor(F.col("dst") / 100) * 0.1
+    rad = 3.141592653589793 / 180.0
+    hav = F.lit(2.0 * 6371.0) * F.asin(
+        F.sqrt(
+            F.pow(F.sin((d_lat - F.col("lat")) * rad / 2), 2)
+            + F.cos(F.col("lat") * rad)
+            * F.cos(d_lat * rad)
+            * F.pow(F.sin((d_lon - F.col("lon")) * rad / 2), 2)
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("id").cast("string"), F.col("dst").cast("string"), F.lit("w"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**6)
+    )
+    edges = e.select(
+        F.col("id").alias("src"), "dst", (hav * (F.lit(1.0) + u)).alias("weight")
+    )
+    return LinkGraph(nodes=nodes, edges=edges)
+
+
+def q_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* source->target on the synthetic geo graph (single row: cost to 4
+    decimals + the node sequence); the oracle replays the same weights and
+    runs unrolled Bellman-Ford + the deterministic min-id predecessor chain."""
+    _tune(spark)
+    from graph_data_science_spark.operators.paths import astar
+
+    g = _geo_graph(spark, sf_dir)
+    out = astar(g, 0, 499)
+    return out.select(
+        "source",
+        "target",
+        F.round("total_cost", 4).alias("total_cost"),
+        F.array_join(F.transform("node_ids", lambda x: x.cast("string")), "->").alias(
+            "path_str"
+        ),
+    )
+
+
+def q_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIS influence maximization (CELF-objective analog): top-3 greedy seeds
+    with covered-RR-set counts — FULLY replayed by the oracle (md5 roots,
+    md5 edge percolation, bounded reverse closure, 3 unrolled greedy picks)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.influence import influence_maximization
+
+    g = _sparse_graph(spark, sf_dir)
+    res = influence_maximization(
+        g, k=3, propagation_probability=0.3, n_rr_sets=100, seed=42, max_depth=20
+    )
+    rows = [(i + 1, int(n), int(c)) for i, (n, c) in enumerate(res.seeds)]
+    return spark.createDataFrame(rows, "rank long, node_id long, covered long")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_corpus_pagerank(spark, "/root/testdata/sf0.001")
@@ -782,6 +909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_path": q_shortest_path,
         "scc": q_scc,
         "node2vec": q_node2vec,
+        "mst": q_mst,
+        "max_k_cut": q_max_k_cut,
+        "astar": q_astar,
+        "influence": q_influence,
     }
 
 
@@ -1227,6 +1358,109 @@ FROM nodes n LEFT JOIN bc b ON b.id = n.id""")
     return "".join(parts)
 
 
+def _sql_astar(rounds: int) -> str:
+    """Replay the synthetic geo graph (grid lat/lon, haversine x (1+md5-u01)
+    weights) and solve 0 -> n-1 with unrolled Bellman-Ford + the
+    deterministic min-id predecessor chain."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    hw = _h6("md5(src || ':' || dst || ':w')")
+    parts = [f"""WITH RECURSIVE gnodes AS MATERIALIZED (
+  SELECT doc_id AS id,
+         10.0 + (doc_id % 100) * 0.1 AS lat,
+         20.0 + FLOOR(doc_id / 100) * 0.1 AS lon
+  FROM documents
+),
+gpairs AS (
+  SELECT id AS src, (id * 7 + 3) % {n} AS dst, lat, lon FROM gnodes
+  UNION ALL
+  SELECT id AS src, (id * 13 + 7) % {n} AS dst, lat, lon FROM gnodes
+),
+ge AS MATERIALIZED (
+  SELECT src, dst,
+         (2.0 * 6371.0 * ASIN(SQRT(
+            POW(SIN(((10.0 + (dst % 100) * 0.1) - lat) * (PI() / 180.0) / 2), 2)
+            + COS(lat * (PI() / 180.0))
+              * COS((10.0 + (dst % 100) * 0.1) * (PI() / 180.0))
+              * POW(SIN(((20.0 + FLOOR(dst / 100) * 0.1) - lon) * (PI() / 180.0) / 2), 2)
+         ))) * (1.0 + ({hw}) / 16777216.0) AS w
+  FROM gpairs WHERE src <> dst
+),
+d0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = 0 THEN 0.0 ELSE 1e18 END AS d FROM gnodes
+)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT nd.id, LEAST(nd.d, COALESCE(m.best, 1e18)) AS d
+  FROM d{t - 1} nd LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.d + e.w) AS best
+    FROM d{t - 1} p JOIN ge e ON e.src = p.id
+    GROUP BY e.dst
+  ) m ON m.id = nd.id
+)""")
+    parts.append(f""",
+dist AS MATERIALIZED (SELECT id, d FROM d{rounds} WHERE d < 1e17),
+preds AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(e.src) AS pred
+  FROM ge e JOIN dist a ON a.id = e.src JOIN dist b ON b.id = e.dst
+  WHERE a.d + e.w = b.d
+  GROUP BY e.dst
+),
+chain(id, cur, nstep) AS (
+  SELECT id, id, 0 FROM dist WHERE id = {n} - 1
+  UNION ALL
+  SELECT c.id, p.pred, c.nstep + 1 FROM chain c JOIN preds p
+    ON p.id = c.cur AND c.cur <> 0
+)
+SELECT CAST(0 AS BIGINT) AS source, CAST({n} - 1 AS BIGINT) AS target,
+       ROUND((SELECT d FROM dist WHERE id = {n} - 1), 4) AS total_cost,
+       (SELECT STRING_AGG(CAST(cur AS VARCHAR), '->' ORDER BY nstep DESC)
+        FROM chain) AS path_str""")
+    return "".join(parts)
+
+
+def _sql_influence() -> str:
+    """Replay RIS influence maximization: md5 roots + percolation, bounded
+    reverse closure, 3 unrolled greedy max-coverage picks."""
+    hr = _h6("md5(s.sid || ':root:42')")
+    hp = _h6("md5(w.set_id || ':' || e.src || ':' || e.dst || ':42')")
+    picks = []
+    for r in (1, 2, 3):
+        prev = "member" if r == 1 else f"m{r}"
+        picks.append(f""",
+c{r} AS MATERIALIZED (SELECT id, COUNT(*) AS cnt FROM {prev} GROUP BY id),
+p{r} AS MATERIALIZED (SELECT id, cnt FROM c{r} ORDER BY cnt DESC, id ASC LIMIT 1)"""
+        + (f""",
+m{r + 1} AS MATERIALIZED (
+  SELECT m.* FROM {prev} m
+  WHERE m.set_id NOT IN (
+    SELECT set_id FROM {prev} WHERE id = (SELECT id FROM p{r})
+  )
+)""" if r < 3 else ""))
+    return f"""WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2},
+ridx AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx FROM nodes2
+),
+roots AS MATERIALIZED (
+  SELECT s.sid AS set_id, r.id
+  FROM (SELECT UNNEST(range(100)) AS sid) s
+  JOIN ridx r ON r.idx = CAST(FLOOR((({hr}) / 16777216.0)
+                              * (SELECT COUNT(*) FROM nodes2)) AS BIGINT)
+),
+rr(set_id, id, d) AS (
+  SELECT set_id, id, 0 FROM roots
+  UNION
+  SELECT w.set_id, e.src, w.d + 1
+  FROM rr w JOIN edges2 e ON e.dst = w.id
+  WHERE w.d < 20
+    AND (({hp}) / 16777216.0) < 0.3
+),
+member AS MATERIALIZED (SELECT DISTINCT set_id, id FROM rr){"".join(picks)}
+SELECT CAST(1 AS BIGINT) AS rank, id AS node_id, cnt AS covered FROM p1
+UNION ALL SELECT CAST(2 AS BIGINT), id, cnt FROM p2
+UNION ALL SELECT CAST(3 AS BIGINT), id, cnt FROM p3"""
+
+
 _SHA4 = " + ".join(
     f"(strpos('0123456789abcdef', substring(sh, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
     for i in range(4)
@@ -1587,6 +1821,21 @@ SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_assigned,
     sqls["node2vec"] = f"""WITH {SQL_EDGES2}, {SQL_NODES2}
 SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_embedded,
        CAST(0 AS BIGINT) AS n_nonfinite, TRUE AS dim_ok"""
+
+    sqls["mst"] = _sql_wcc(
+        "wedges", "wnodes", f"WITH RECURSIVE {SQL_WEDGES}, {SQL_WNODES}"
+    ).replace(
+        f"SELECT id, comp FROM mlp WHERE iter = {WCC_SQL_ROUNDS}",
+        f"SELECT CAST(COUNT(*) - COUNT(DISTINCT comp) AS BIGINT) AS n_tree_edges, "
+        f"TRUE AS components_match FROM mlp WHERE iter = {WCC_SQL_ROUNDS}",
+    )
+
+    sqls["max_k_cut"] = f"""WITH {SQL_EDGES2}, {SQL_NODES2}
+SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_assigned,
+       TRUE AS k_ok, TRUE AS cut_ge_baseline"""
+
+    sqls["astar"] = _sql_astar(40)
+    sqls["influence"] = _sql_influence()
 
     sqls["hits"] = _sql_hits(10)
     sqls["labelprop"] = _sql_labelprop_full(10)

@@ -10,8 +10,16 @@ checkpointed state (plans/checkpoint.py).
 """
 
 from graph_data_science_spark.session import get_spark
-from graph_data_science_spark.operators.graph import LinkGraph, Orientation
+from graph_data_science_spark.operators.graph import Aggregation, LinkGraph, Orientation
 
-__all__ = ["get_spark", "LinkGraph", "Orientation"]
+__all__ = ["get_spark", "LinkGraph", "Orientation", "Aggregation", "run"]
+
+
+def run(graph, algorithm, mode="stream", **config):
+    """Uniform execution-mode entry (stream/stats/mutate/write) — see
+    operators/modes.py."""
+    from graph_data_science_spark.operators.modes import run as _run
+
+    return _run(graph, algorithm, mode, **config)
 
 __version__ = "0.1.0"

@@ -9,9 +9,19 @@
   algo/.../paths/delta/DeltaStepping.java): parallel SSSP by iterative
   bucket relaxation — each round relaxes the active frontier through a join +
   groupBy(min) (Spark's partial agg is the bucket combine); converges when no
-  distance improves.  Dijkstra/A*/Yens are sequential-PQ algorithms with no
-  efficient Spark analog (SURVEY.md §2.4) — delta-relaxation is the
-  scale-out replacement and returns identical distances.
+  distance improves.  The sequential Dijkstra PQ has no Spark analog;
+  delta-relaxation returns identical distances.
+- shortest_paths: predecessor-tracked SSSP + pointer-doubling path
+  reconstruction (the PathResult analog, Dijkstra.java:49).
+- astar (gds.shortestPath.astar.*, algo/.../paths/astar/AStar.java):
+  A* == Dijkstra on potential-shifted weights w'(u,v) = w + h(v) - h(u)
+  (Johnson reweighting with an admissible, consistent heuristic — the
+  reference's haversine).  The Spark formulation reuses sssp on the
+  reweighted edge set; path cost is recovered by adding h(target) - h(src).
+- yens (gds.shortestPath.yens.*, algo/.../paths/yens/Yens.java): K loopless
+  shortest paths via spur deviations — a DRIVER loop over shortest_paths
+  calls on edge-filtered subgraphs (inherently k x |spur| sequential
+  invocations; each invocation is fully distributed).
 """
 
 from dataclasses import dataclass, field
@@ -229,3 +239,186 @@ def shortest_paths(
         F.col("seg.cost").alias("costs"),
     )
     return ShortestPathResult(paths, dist, res.rounds, ckpt.metrics)
+
+
+def astar(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """A* source->target shortest path (haversine heuristic, AStar.java).
+
+    Implemented as Johnson potential reweighting: with a consistent heuristic
+    h, Dijkstra on w'(u,v) = w(u,v) + h(v) - h(u) visits in A* order and
+    preserves shortest paths exactly; the delta-relaxation engine then solves
+    it without any priority queue.  Returns one row:
+    (source, target, total_cost, node_ids, costs) — empty if unreachable.
+    Nodes must carry lat/lon degree columns (the reference's
+    requirement for the haversine heuristic).
+    """
+    spark = graph.nodes.sparkSession
+    R = 6371.0  # km, mean earth radius (haversine, AStar.java heuristic)
+    tgt = graph.nodes.where(F.col("id") == int(target)).select(lat_col, lon_col).collect()
+    if not tgt:
+        raise ValueError(f"target {target} not in graph")
+    tlat, tlon = float(tgt[0][0]), float(tgt[0][1])
+
+    rad = 3.141592653589793 / 180.0
+    h = (
+        F.lit(2.0 * R)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((F.lit(tlat) - F.col(lat_col)) * rad / 2), 2)
+                + F.cos(F.col(lat_col) * rad)
+                * F.cos(F.lit(tlat) * rad)
+                * F.pow(F.sin((F.lit(tlon) - F.col(lon_col)) * rad / 2), 2)
+            )
+        )
+    )
+    pot = graph.nodes.select("id", h.alias("h"))
+    hu = pot.select(F.col("id").alias("src"), F.col("h").alias("h_src"))
+    hv = pot.select(F.col("id").alias("dst"), F.col("h").alias("h_dst"))
+    rew = (
+        graph.edges.join(hu, "src")
+        .join(hv, "dst")
+        .select(
+            "src",
+            "dst",
+            # consistent heuristic => non-negative reweighted cost
+            F.greatest(
+                F.col("weight") + F.col("h_dst") - F.col("h_src"), F.lit(0.0)
+            ).alias("weight"),
+        )
+    )
+    g2 = LinkGraph(nodes=graph.nodes.select("id"), edges=rew)
+    res = shortest_paths(g2, int(source), weighted=True, max_rounds=max_rounds)
+    h_src = float(
+        pot.where(F.col("id") == int(source)).collect()[0]["h"]
+    )
+    # undo the potential shift: true_cost(x) = shifted(x) - h(x) + h(source);
+    # h(target) == 0, so total = shifted_total + h(source)
+    p = res.paths.where(F.col("target") == int(target)).select(
+        "source",
+        "target",
+        (F.col("total_cost") + F.lit(h_src)).alias("total_cost"),
+        F.posexplode(F.arrays_zip("node_ids", "costs")).alias("i", "z"),
+    )
+    rows = p.select(
+        "source",
+        "target",
+        "total_cost",
+        "i",
+        F.col("z.node_ids").alias("node"),
+        F.col("z.costs").alias("c"),
+    ).join(pot.withColumnRenamed("id", "node"), "node")
+    return (
+        rows.groupBy("source", "target", "total_cost")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        F.col("node"),
+                        (F.col("c") - F.col("h") + F.lit(h_src)).alias("tc"),
+                    )
+                )
+            ).alias("steps")
+        )
+        .select(
+            "source",
+            "target",
+            "total_cost",
+            F.col("steps.node").alias("node_ids"),
+            F.col("steps.tc").alias("costs"),
+        )
+    )
+
+
+def yens(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    k: int = 3,
+    weighted: bool = True,
+    max_rounds: int = 100,
+) -> list:
+    """K loopless shortest paths (Yens.java semantics): list of
+    (total_cost, [node ids]) sorted by cost, at most k entries.
+
+    Driver loop over fully-distributed shortest_paths calls: for each spur
+    node of each accepted path, rerun SSSP on the graph minus the edges
+    shared with already-accepted paths at that spur prefix and minus the
+    prefix nodes (loopless constraint).
+    """
+    first = _path_to(graph, source, target, weighted, max_rounds, set(), set())
+    if first is None:
+        return []
+    accepted = [first]
+    candidates: list = []
+    seen = {tuple(first[1])}
+    while len(accepted) < k:
+        prev_cost, prev_path = accepted[-1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            banned_edges = set()
+            for (_, p) in accepted:
+                if len(p) > i and p[: i + 1] == root:
+                    banned_edges.add((p[i], p[i + 1]))
+            banned_nodes = set(root[:-1])
+            tail = _path_to(
+                graph, spur, target, weighted, max_rounds, banned_edges, banned_nodes
+            )
+            if tail is None:
+                continue
+            tail_cost, tail_path = tail
+            root_cost = 0.0
+            if i > 0:
+                # cost of the root prefix along prev_path
+                root_cost = _prefix_cost(graph, prev_path, i, weighted)
+            full = root[:-1] + tail_path
+            key = tuple(full)
+            if key in seen:
+                continue
+            seen.add(key)
+            candidates.append((root_cost + tail_cost, full))
+        if not candidates:
+            break
+        candidates.sort(key=lambda t: (t[0], t[1]))
+        accepted.append(candidates.pop(0))
+    return accepted
+
+
+def _prefix_cost(graph: LinkGraph, path: list, upto: int, weighted: bool) -> float:
+    pairs = list(zip(path[:upto], path[1 : upto + 1]))
+    w = F.col("weight") if weighted else F.lit(1.0)
+    e = graph.edges.select("src", "dst", w.alias("w"))
+    cond = None
+    for a, b in pairs:
+        c = (F.col("src") == int(a)) & (F.col("dst") == int(b))
+        cond = c if cond is None else (cond | c)
+    rows = e.where(cond).groupBy("src", "dst").agg(F.min("w").alias("w")).collect()
+    by_pair = {(r["src"], r["dst"]): r["w"] for r in rows}
+    return float(sum(by_pair[(a, b)] for a, b in pairs))
+
+
+def _path_to(graph, source, target, weighted, max_rounds, banned_edges, banned_nodes):
+    e = graph.edges
+    if banned_nodes:
+        bn = list(int(x) for x in banned_nodes)
+        e = e.where(~F.col("src").isin(bn) & ~F.col("dst").isin(bn))
+    if banned_edges:
+        cond = None
+        for a, b in banned_edges:
+            c = (F.col("src") == int(a)) & (F.col("dst") == int(b))
+            cond = c if cond is None else (cond | c)
+        e = e.where(~cond)
+    g = LinkGraph(nodes=graph.nodes.select("id"), edges=e)
+    res = shortest_paths(g, int(source), weighted=weighted, max_rounds=max_rounds)
+    row = res.paths.where(F.col("target") == int(target)).collect()
+    if not row:
+        return None
+    return float(row[0]["total_cost"]), [int(x) for x in row[0]["node_ids"]]

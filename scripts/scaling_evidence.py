@@ -25,13 +25,14 @@ from graph_data_science_spark.operators import pagerank as pr_ops
 
 cpus = int(sys.argv[1])
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+REP = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=cpus,
                   extra_conf={"spark.local.dir": "/dev/shm/spark-local"})
 li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
 N = 99991
 e = li.select((F.col("l_orderkey") %% N).alias("src"),
               (F.col("l_partkey") %% N).alias("dst")).where("src <> dst")
-copies = spark.range(64).select(F.col("id").alias("copy"))
+copies = spark.range(REP).select(F.col("id").alias("copy"))
 e = e.crossJoin(copies).select((F.col("src") + F.col("copy")*N).alias("src"),
                                (F.col("dst") + F.col("copy")*N).alias("dst"))
 g = LinkGraph.from_edges(spark, e, aggregation=Aggregation.SINGLE).cache()
@@ -46,18 +47,18 @@ for m in rows:
     ps, pw = m["superstep"], m["wall_s"]
 med = statistics.median(per[1:])
 import json as _json
-print("SAMPLE " + _json.dumps({"cpus": cpus, "edges": ne, "ckpt_every": K,
+print("SAMPLE " + _json.dumps({"cpus": cpus, "edges": ne, "ckpt_every": K, "replicate": REP,
     "median_superstep_s": round(med, 3), "steady_eps": round(ne / med),
     "per_superstep": [round(x, 2) for x in per]}))
 spark.stop()
 '''
 
 
-def run_sample(cpus: int, k: int = 4) -> dict:
+def run_sample(cpus: int, k: int = 4, rep: int = 64) -> dict:
     code = WORKER % {"repo": REPO}
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(k)],
-        capture_output=True, text=True, timeout=900,
+        [sys.executable, "-c", code, str(cpus), str(k), str(rep)],
+        capture_output=True, text=True, timeout=1800,
     )
     for line in out.stdout.splitlines():
         if line.startswith("SAMPLE "):
@@ -68,10 +69,11 @@ def run_sample(cpus: int, k: int = 4) -> dict:
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     samples = {8: [], 32: []}
     for _ in range(n):
         for cpus in (8, 32):
-            s = run_sample(cpus, k)
+            s = run_sample(cpus, k, rep)
             samples[cpus].append(s)
             print(f"local[{cpus}]: median={s['median_superstep_s']}s "
                   f"steady_eps={s['steady_eps']:,}")
@@ -87,7 +89,7 @@ def main():
         f.write("# BENCH — scaling evidence (local[8] vs local[32])\n\n")
         f.write(
             f"Same PageRank job (tol 1e-6, lineitem-derived link graph "
-            f"replicated 64x = {edges:,} edges, checkpoint window K="
+            f"replicated {samples[8][0].get('replicate', 64)}x = {edges:,} edges, checkpoint window K="
             f"{samples[8][0].get('ckpt_every', 1)} supersteps/barrier, "
             f"{len(samples[8])} samples per "
             "level, levels alternated to control for shared-host noise).\n"

@@ -1,0 +1,179 @@
+"""Round-2 long-tail operators: Borůvka spanning forest, approximate
+max-k-cut, A*, Yen's K shortest paths, RIS influence maximization."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph
+
+
+def _graph(spark, edges, weighted=True):
+    return LinkGraph.from_edges(spark, edges, weighted=weighted)
+
+
+# -- Borůvka spanning forest --------------------------------------------------
+
+def test_mst_simple(spark):
+    from graph_data_science_spark.operators.spanning import minimum_spanning_forest
+
+    # square with diagonal: MST = {0-1 (1), 1-2 (2), 0-3 (3)}; skip 2-3 (9), 0-2 (8)
+    g = _graph(
+        spark,
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 9.0), (0, 3, 3.0), (0, 2, 8.0)],
+    )
+    res = minimum_spanning_forest(g)
+    chosen = {(r["src"], r["dst"]): r["weight"] for r in res.edges.collect()}
+    assert chosen == {(0, 1): 1.0, (1, 2): 2.0, (0, 3): 3.0}
+    assert res.total_weight == 6.0
+    # all nodes in one forest component
+    comps = {r["comp"] for r in res.components.collect()}
+    assert comps == {0}
+
+
+def test_mst_forest_multiple_components(spark):
+    from graph_data_science_spark.operators.spanning import minimum_spanning_forest
+
+    g = _graph(spark, [(0, 1, 5.0), (1, 2, 1.0), (10, 11, 2.0)])
+    res = minimum_spanning_forest(g)
+    assert res.edges.count() == 3  # (n=5 nodes) - (2 components) = 3
+    assert res.total_weight == 8.0
+    comp = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[10] == comp[11] != comp[0]
+
+
+def test_mst_matches_kruskal_on_random(spark):
+    from graph_data_science_spark.operators.spanning import minimum_spanning_forest
+
+    n = 24
+    edges = []
+    for i in range(n):
+        for j in (1, 5, 9):
+            a, b = i, (i * j + 3) % n
+            if a != b:
+                w = float(((a * 31 + b * 17) % 97) + 1)
+                edges.append((a, b, w))
+    g = _graph(spark, edges)
+    res = minimum_spanning_forest(g)
+
+    # Kruskal with identical (w, a, b) tie-break
+    canon = {}
+    for a, b, w in edges:
+        key = (min(a, b), max(a, b))
+        canon[key] = min(canon.get(key, float("inf")), w)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total = 0.0
+    for w, a, b in sorted((w, a, b) for (a, b), w in canon.items()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            total += w
+    assert abs(res.total_weight - total) < 1e-9
+
+
+# -- approximate max-k-cut ----------------------------------------------------
+
+def test_max_k_cut_improves_baseline(spark):
+    from graph_data_science_spark.operators.maxkcut import approx_max_k_cut, _cut_weight
+
+    n = 30
+    edges = [(i, (i * 7 + 1) % n, 1.0) for i in range(n)] + [
+        (i, (i * 3 + 2) % n, 1.0) for i in range(n)
+    ]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    g = _graph(spark, edges)
+    base = g.nodes.select("id", (F.col("id") % 3).alias("partition"))
+    baseline = _cut_weight(g, base)
+    res = approx_max_k_cut(g, k=3, max_iterations=8)
+    assert res.cut_weight >= baseline
+    parts = {r["partition"] for r in res.assignment.collect()}
+    assert parts.issubset({0, 1, 2})
+    assert res.assignment.count() == n
+
+
+# -- A* -----------------------------------------------------------------------
+
+def test_astar_matches_dijkstra_cost(spark):
+    from graph_data_science_spark.operators.paths import astar, shortest_paths
+
+    # grid-ish geo graph: nodes on a line of coordinates, weights = geo
+    # distance * 1.2 (so haversine is admissible + consistent)
+    import math as m
+
+    coords = {i: (10.0 + 0.1 * i, 20.0 + 0.05 * (i % 3)) for i in range(8)}
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = coords[a], coords[b]
+        rad = m.pi / 180
+        x = (
+            m.sin((la2 - la1) * rad / 2) ** 2
+            + m.cos(la1 * rad) * m.cos(la2 * rad) * m.sin((lo2 - lo1) * rad / 2) ** 2
+        )
+        return 2 * 6371.0 * m.asin(m.sqrt(x))
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (0, 2), (2, 5), (5, 7)]
+    edges = [(a, b, hav(a, b) * 1.2) for a, b in pairs]
+    g = _graph(spark, edges)
+    nodes = spark.createDataFrame(
+        [(i, coords[i][0], coords[i][1]) for i in range(8)], "id long, lat double, lon double"
+    )
+    g = LinkGraph(nodes=nodes, edges=g.edges)
+
+    exact = shortest_paths(g, 0, weighted=True)
+    want = exact.paths.where(F.col("target") == 7).collect()[0]
+    got = astar(g, 0, 7).collect()
+    assert len(got) == 1
+    assert abs(got[0]["total_cost"] - want["total_cost"]) < 1e-6
+    assert got[0]["node_ids"] == want["node_ids"]
+    assert abs(got[0]["costs"][-1] - got[0]["total_cost"]) < 1e-6
+
+
+# -- Yen's K shortest paths ---------------------------------------------------
+
+def test_yens_k_shortest(spark):
+    from graph_data_science_spark.operators.paths import yens
+
+    # classic example: multiple routes 0 -> 5
+    edges = [
+        (0, 1, 1.0), (1, 5, 1.0),          # cost 2
+        (0, 2, 1.0), (2, 5, 1.5),          # cost 2.5
+        (0, 3, 2.0), (3, 5, 1.0),          # cost 3
+        (1, 2, 0.3),                        # 0-1-2-5 = 2.8
+    ]
+    g = _graph(spark, edges)
+    paths = yens(g, 0, 5, k=3)
+    assert [p for _, p in paths][0] == [0, 1, 5]
+    costs = [c for c, _ in paths]
+    assert costs == sorted(costs)
+    assert abs(costs[0] - 2.0) < 1e-9
+    assert abs(costs[1] - 2.5) < 1e-9
+    assert abs(costs[2] - 2.8) < 1e-9
+    # loopless
+    for _, p in paths:
+        assert len(p) == len(set(p))
+
+
+# -- RIS influence maximization ----------------------------------------------
+
+def test_influence_maximization_picks_hub(spark):
+    from graph_data_science_spark.operators.influence import influence_maximization
+
+    # star: node 0 points at 1..15 — the only sensible seed is 0
+    edges = [(0, i, 1.0) for i in range(1, 16)]
+    g = _graph(spark, edges)
+    res = influence_maximization(
+        g, k=2, propagation_probability=0.9, n_rr_sets=100, seed=7
+    )
+    assert res.seeds, "no seeds found"
+    assert res.seeds[0][0] == 0
+    assert res.spread_estimate > 1.0
+    assert res.n_rr_sets == 100

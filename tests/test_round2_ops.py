@@ -336,3 +336,15 @@ def test_pagerank_resume_from_durable_checkpoint(spark, tmp_path):
 
     c2 = SuperstepCheckpointer(spark, ck)
     assert c2.latest_superstep() == 8
+
+
+def test_modes_extended_algorithms(spark):
+    from graph_data_science_spark.operators.modes import run
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1)])
+    for algo in ("hits", "closeness", "harmonic", "betweenness"):
+        df, meta = run(g, algo, "stream")
+        assert "score" in df.columns and df.count() >= 4, algo
+        assert meta["estimate"]["est_edge_bytes"] != 0
+    stats = run(g, "maxkcut", "stats", k=2, max_iterations=3)
+    assert stats["communityCount"] <= 2

@@ -4,12 +4,16 @@ Reference: alpha/alpha-proc/src/main/java/org/neo4j/gds/pregel/Hits.java —
 phased Pregel: auth(v) = Σ hub(u) over in-edges, then global L2 normalization
 via masterCompute; hub(u) = Σ auth(v) over out-edges, normalized likewise.
 
-Spark decomposition: two join+sum aggregations per iteration.  The global L2
-norms are 1-row aggregate subplans broadcast back into the main plan
-(crossJoin of a broadcast single-row aggregate — the masterCompute analog),
-so a full iteration (both phases, both normalizations, and the convergence
-delta via observe) executes as ONE Spark action: a single checkpoint write
-per iteration instead of the naive 3 collects + 3 checkpoints.
+Spark decomposition: two join+sum aggregations per iteration — and exactly
+TWO actions per iteration (one checkpoint write per phase).  The global L2
+norm of each phase rides that phase's checkpoint write as an `observe()`
+metric, so normalization costs no extra job and nothing is recomputed: the
+normalized column is derived lazily from the materialized raw column and
+the observed scalar (the masterCompute analog).  The convergence delta
+likewise rides the hub-phase write.  (The naive shape is 3 collects + 3
+checkpoints per iteration; a broadcast-scalar-subplan variant gets to one
+action but re-executes the phase joins inside the norm subplans, which
+costs more than the barrier it saves.)
 """
 
 import time
@@ -39,11 +43,6 @@ class HitsResult:
     metrics: list = field(default_factory=list)
 
 
-def _scalar(df: DataFrame, col, name: str) -> DataFrame:
-    """1-row DataFrame holding a global aggregate, for broadcast crossJoin."""
-    return F.broadcast(df.agg(col.alias(name)))
-
-
 def hits(graph: LinkGraph, cfg: Optional[HitsConfig] = None) -> HitsResult:
     cfg = cfg or HitsConfig()
     spark = graph.nodes.sparkSession
@@ -62,7 +61,8 @@ def hits(graph: LinkGraph, cfg: Optional[HitsConfig] = None) -> HitsResult:
     t0 = time.time()
     with no_aqe(spark):
         for t in range(1, cfg.hits_iterations + 1):
-            # auth phase: auth(v) = Σ hub(u) for u->v, then L2 normalize
+            # auth phase: auth(v) = Σ hub(u) for u->v; the L2 norm rides the
+            # phase checkpoint via observe (no extra job, no recompute)
             hubs = state.select(F.col("id").alias("src"), "hub")
             auth_raw = (
                 edges.join(hubs, "src").groupBy("dst").agg(F.sum("hub").alias("auth_raw"))
@@ -73,44 +73,37 @@ def hits(graph: LinkGraph, cfg: Optional[HitsConfig] = None) -> HitsResult:
                 F.col("auth").alias("auth_prev"),
                 "hub",
             )
-            na = _scalar(s1, F.sqrt(F.sum(F.col("auth_new") ** 2)), "na")
-            s1n = s1.crossJoin(na).select(
-                "id",
-                (F.col("auth_new") / F.when(F.col("na") > 0, F.col("na")).otherwise(1.0)).alias(
-                    "auth_n"
-                ),
-                "auth_prev",
-                "hub",
-            )
+            obs_a = Observation()
+            s1 = s1.observe(obs_a, F.sum(F.col("auth_new") ** 2).alias("ss"))
+            s1 = ckpt.checkpoint(s1, t, name="auth_phase")
+            na = float(obs_a.get["ss"] or 0.0) ** 0.5 or 1.0
 
-            # hub phase: hub(u) = Σ auth(v) for u->v, then L2 normalize
-            auths = s1n.select(F.col("id").alias("dst"), F.col("auth_n"))
+            # hub phase: hub(u) = Σ auth(v) for u->v; normalized auth derived
+            # lazily from the materialized raw column + the observed scalar
+            auth_n = F.col("auth_new") / F.lit(na)
+            auths = s1.select(F.col("id").alias("dst"), auth_n.alias("auth_n"))
             hub_raw = (
                 edges.join(auths, "dst").groupBy("src").agg(F.sum("auth_n").alias("hub_raw"))
             )
-            s2 = s1n.join(hub_raw, s1n["id"] == hub_raw["src"], "left").select(
-                s1n["id"],
-                F.col("auth_n").alias("auth"),
-                "auth_prev",
+            s2 = s1.join(hub_raw, s1["id"] == hub_raw["src"], "left").select(
+                s1["id"],
+                auth_n.alias("auth"),
+                F.col("auth_prev"),
                 F.coalesce("hub_raw", F.lit(0.0)).alias("hub_new"),
             )
-            nh = _scalar(s2, F.sqrt(F.sum(F.col("hub_new") ** 2)), "nh")
-            final = s2.crossJoin(nh).select(
-                "id",
-                "auth",
-                "auth_prev",
-                (F.col("hub_new") / F.when(F.col("nh") > 0, F.col("nh")).otherwise(1.0)).alias(
-                    "hub"
-                ),
+            obs_h = Observation()
+            s2 = s2.observe(
+                obs_h,
+                F.sum(F.col("hub_new") ** 2).alias("ss"),
+                F.sqrt(F.sum((F.col("auth") - F.col("auth_prev")) ** 2)).alias("delta"),
             )
-
-            # convergence delta rides the checkpoint write — one action total
-            obs = Observation()
-            observed = final.observe(
-                obs, F.sqrt(F.sum((F.col("auth") - F.col("auth_prev")) ** 2)).alias("delta")
-            ).select("id", "auth", "hub")
-            state = ckpt.checkpoint(observed, t)
-            delta = float(obs.get["delta"] or 0.0)
+            s2 = ckpt.checkpoint(s2, t, name="hub_phase")
+            row = obs_h.get
+            nh = float(row["ss"] or 0.0) ** 0.5 or 1.0
+            delta = float(row["delta"] or 0.0)
+            state = s2.select(
+                "id", "auth", (F.col("hub_new") / F.lit(nh)).alias("hub")
+            )
             ckpt.log(t, algorithm="hits", l2_delta=delta, wall_s=time.time() - t0)
             if delta <= cfg.tolerance:
                 ran, converged = t, True

@@ -71,7 +71,7 @@ def scc(
     )
     active = graph.nodes.select("id")
     active = ckpt.checkpoint(active, 0, name="active")
-    assigned = None  # (id, comp)
+    assigned_parts: list = []  # per-phase (id, comp) frames, unioned lazily
 
     t0 = time.time()
     outer = 0
@@ -79,41 +79,50 @@ def scc(
         while outer < max_outer_rounds:
             outer += 1
 
-            # -- 1. trim singleton SCCs (no in- or no out-edge in the
-            # active subgraph), iterated to a fixpoint ---------------------
+            # -- 1. trim singleton SCCs (no in- or no out-edge in the active
+            # subgraph), iterated to a fixpoint.  ONE checkpoint per round:
+            # keep/trimmed both derive lazily from the same materialized
+            # `marked` frame (unique name per round so lazily-referenced
+            # trimmed parts are never evicted), and both counts ride the
+            # write via observe.
             trim_round = 0
+            n_active = None
             while True:
                 trim_round += 1
                 e = (
                     all_edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
                     .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
                 )
-                srcs = e.select(F.col("src").alias("id")).distinct()
-                dsts = e.select(F.col("dst").alias("id")).distinct()
-                keep = active.join(srcs, "id", "left_semi").join(dsts, "id", "left_semi")
-                trimmed = active.join(keep, "id", "left_anti").select(
-                    "id", F.col("id").alias("comp")
+                srcs = e.select(F.col("src").alias("id")).distinct().withColumn("_s", F.lit(1))
+                dsts = e.select(F.col("dst").alias("id")).distinct().withColumn("_d", F.lit(1))
+                marked = (
+                    active.join(srcs, "id", "left")
+                    .join(dsts, "id", "left")
+                    .select(
+                        "id",
+                        (F.col("_s").isNotNull() & F.col("_d").isNotNull()).alias("_keep"),
+                    )
                 )
                 obs = Observation()
-                trimmed = trimmed.observe(obs, F.count(F.lit(1)).alias("c"))
-                trimmed = ckpt.checkpoint(trimmed, outer * 100 + trim_round, name="trim")
-                n_trim = int(obs.get["c"] or 0)
+                marked = marked.observe(
+                    obs,
+                    F.sum((~F.col("_keep")).cast("long")).alias("trimmed"),
+                    F.sum(F.col("_keep").cast("long")).alias("kept"),
+                )
+                marked = ckpt.checkpoint(
+                    marked, outer * 100 + trim_round, name=f"trim_{outer}_{trim_round}"
+                )
+                row = obs.get
+                n_trim, n_active = int(row["trimmed"] or 0), int(row["kept"] or 0)
+                active = marked.where(F.col("_keep")).select("id")
                 if n_trim == 0:
                     break
-                assigned = (
-                    trimmed if assigned is None else assigned.unionByName(trimmed)
+                assigned_parts.append(
+                    marked.where(~F.col("_keep")).select("id", F.col("id").alias("comp"))
                 )
-                assigned = ckpt.checkpoint(
-                    assigned, outer * 100 + trim_round, name="assigned"
-                )
-                active = ckpt.checkpoint(keep, outer * 100 + trim_round, name="active")
             ckpt.log(outer, algorithm="scc_trim", rounds=trim_round, wall_s=time.time() - t0)
 
-            obs = Observation()
-            active = ckpt.checkpoint(
-                active.observe(obs, F.count(F.lit(1)).alias("c")), outer, name="active"
-            )
-            if int(obs.get["c"] or 0) == 0:
+            if n_active == 0:
                 break
 
             edges = (
@@ -196,14 +205,17 @@ def scc(
             # -- 4. extract SCCs, emit comp = min member id -----------------
             comp_min = member.groupBy("root").agg(F.min("id").alias("comp"))
             found = member.join(comp_min, "root").select("id", "comp")
-            found = ckpt.checkpoint(found, outer, name="found")
-            assigned = found if assigned is None else assigned.unionByName(found)
-            assigned = ckpt.checkpoint(assigned, outer * 100 + 99, name="assigned")
+            found = ckpt.checkpoint(found, outer, name=f"found_{outer}")
+            assigned_parts.append(found)
             active = active.join(found.select("id"), "id", "left_anti")
             active = ckpt.checkpoint(active, outer * 100 + 99, name="active")
 
     all_edges.unpersist()
-    comps = assigned if assigned is not None else graph.nodes.select(
-        "id", F.col("id").alias("comp")
-    )
+    if not assigned_parts:
+        return SccResult(
+            graph.nodes.select("id", F.col("id").alias("comp")), outer, ckpt.metrics
+        )
+    comps = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        comps = comps.unionByName(part)
     return SccResult(comps, outer, ckpt.metrics)

@@ -248,23 +248,35 @@ def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> Centrali
     else:
         init = F.lit(1.0 / n)
 
-    # superstep 0: next = init (no messages); sent = next * share happens at
-    # the edge level next round; normalize init into rank.  The L2 norm is a
-    # broadcast 1-row aggregate folded into the same plan (masterCompute
-    # analog) so each superstep — message agg, normalization, and the
-    # convergence count via observe — is ONE action: a single checkpoint
-    # write, no per-iteration collect()/count() barriers.
+    # ONE action per superstep and NOTHING recomputed: the pre-normalization
+    # state is checkpointed with the L2 sum-of-squares riding the write as an
+    # observe metric; the normalized rank column then derives LAZILY from the
+    # materialized `next` column and the observed scalar (masterCompute
+    # analog).  The convergence count (nodes with |rank - prev_rank| > tol)
+    # also rides the write — it compares the two previous ranks carried in
+    # the frame, so convergence detection lags one superstep and the scores
+    # of the CONVERGED superstep are returned (GDS reports the iteration the
+    # check passed on).
     from pyspark.sql import Observation
 
-    pre = graph.nodes.select("id", init.alias("next"))
-    n0 = F.broadcast(pre.agg(F.sqrt(F.sum(F.col("next") ** 2)).alias("nrm")))
-    state = pre.crossJoin(n0).select(
-        "id",
-        (F.col("next") / F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(1.0)).alias("rank"),
-        F.col("next").alias("sent_base"),  # unnormalized next, message base
+    pre = graph.nodes.select(
+        "id", init.alias("next"), F.lit(None).cast("double").alias("prev_rank")
     )
-    state = ckpt.checkpoint(state, 0)
+    obs0 = Observation()
+    pre = pre.observe(obs0, F.sum(F.col("next") ** 2).alias("ss"))
+    pre = ckpt.checkpoint(pre, 0)
+    norm = float(obs0.get["ss"] or 0.0) ** 0.5 or 1.0
 
+    def _normalized(df, nrm):
+        return df.select(
+            "id",
+            (F.col("next") / F.lit(nrm)).alias("rank"),
+            F.col("next").alias("sent_base"),
+            "prev_rank",
+        )
+
+    state = _normalized(pre, norm)
+    prev_scores = state
     ran, converged = cfg.max_iterations, False
     t0 = time.time()
     with no_aqe(spark):
@@ -280,30 +292,36 @@ def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> Centrali
                 .select(
                     state["id"],
                     F.col("rank").alias("prev_rank"),
+                    F.col("prev_rank").alias("prev2"),
                     (F.col("rank") + F.coalesce(F.col("msg"), F.lit(0.0))).alias("next"),
                 )
             )
-            nn = F.broadcast(nxt.agg(F.sqrt(F.sum(F.col("next") ** 2)).alias("nrm")))
-            final = nxt.crossJoin(nn).select(
-                "id",
-                (F.col("next") / F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(1.0)).alias(
-                    "rank"
-                ),
-                F.col("next").alias("sent_base"),
-                "prev_rank",
-            )
             obs = Observation()
-            observed = final.observe(
+            nxt = nxt.observe(
                 obs,
+                F.sum(F.col("next") ** 2).alias("ss"),
                 F.sum(
-                    (F.abs(F.col("rank") - F.col("prev_rank")) > cfg.tolerance).cast("long")
-                ).alias("active"),
+                    (F.abs(F.col("prev_rank") - F.col("prev2")) > cfg.tolerance).cast(
+                        "long"
+                    )
+                ).alias("lag_active"),
             )
-            state = ckpt.checkpoint(observed, t)
-            not_conv = int(obs.get["active"] or 0)
-            ckpt.log(t, algorithm="eigenvector", active=not_conv, wall_s=time.time() - t0)
-            if not_conv == 0:
-                ran, converged = t, True
+            nxt = ckpt.checkpoint(nxt.drop("prev2"), t)
+            row = obs.get
+            norm = float(row["ss"] or 0.0) ** 0.5 or 1.0
+            lag_active = row["lag_active"]
+            prev_scores = state
+            state = _normalized(nxt, norm)
+            ckpt.log(
+                t, algorithm="eigenvector", lag_active=lag_active,
+                wall_s=time.time() - t0,
+            )
+            # lag_active compares superstep t-1 vs t-2 (null on t=1): if the
+            # t-1 update changed nothing beyond tolerance, t-1 converged —
+            # return ITS scores (this superstep's work is discarded).
+            if t > 1 and int(lag_active or 0) == 0:
+                ran, converged = t - 1, True
+                state = prev_scores
                 break
 
     scores = state.select("id", F.col("rank").alias("score"))

@@ -1,0 +1,174 @@
+"""ML pipelines: link prediction and node classification
+(gds.beta.pipeline.linkPrediction / .nodeClassification).
+
+Reference: pipeline/ + proc/machine-learning/ — multi-stage train/predict
+pipelines (node-property steps -> feature assembly -> model train with a
+model catalog).  SURVEY.md notes Spark ML already provides the ML layer; the
+Spark-native pipeline is therefore a thin deterministic composition of this
+repo's operators with `pyspark.ml`:
+
+link prediction:
+  1. split_relationships        (deterministic md5 holdout + negatives)
+  2. node embeddings on TRAIN   (FastRP by default — no test leakage)
+  3. pair features              (hadamard / l2 / concat of endpoint vectors,
+                                 LinkFeatureStep analogs)
+  4. LogisticRegression         (Spark ML), evaluated with areaUnderROC
+
+node classification:
+  1. node property steps        (any (id, features array) DataFrame)
+  2. train/test split by md5 bucket (replayable)
+  3. LogisticRegression one-vs-rest, accuracy on holdout
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph
+
+
+@dataclass
+class LinkPredictionResult:
+    model: object  # pyspark.ml LogisticRegressionModel
+    test_auc: float
+    train_rows: int
+    test_rows: int
+    metrics: list = field(default_factory=list)
+
+
+def _pair_features(edges: DataFrame, emb: DataFrame, combiner: str) -> DataFrame:
+    """(src, dst, label) x embeddings -> (features vector, label)."""
+    e1 = emb.select(F.col("id").alias("src"), F.col("embedding").alias("v1"))
+    e2 = emb.select(F.col("id").alias("dst"), F.col("embedding").alias("v2"))
+    j = edges.join(e1, "src").join(e2, "dst")
+    if combiner == "hadamard":
+        feat = F.zip_with("v1", "v2", lambda a, b: a * b)
+    elif combiner == "l2":
+        feat = F.zip_with("v1", "v2", lambda a, b: (a - b) * (a - b))
+    elif combiner == "concat":
+        feat = F.concat("v1", "v2")
+    else:
+        raise ValueError(combiner)
+    out = j.select("src", "dst", "label", feat.alias("farr"))
+    from pyspark.ml.functions import array_to_vector
+
+    return out.select(
+        "src", "dst", F.col("label").cast("double").alias("label"),
+        array_to_vector(F.col("farr").cast("array<double>")).alias("features"),
+    )
+
+
+def link_prediction_pipeline(
+    graph: LinkGraph,
+    holdout_fraction: float = 0.2,
+    embedding_dimension: int = 64,
+    combiner: str = "hadamard",
+    seed: int = 42,
+    embeddings: Optional[DataFrame] = None,
+) -> LinkPredictionResult:
+    """Train/test link prediction over the graph's edge structure.
+
+    Embeddings are computed on the TRAIN graph only (the reference pipeline's
+    node-property steps likewise run on the train split — no leakage).
+    """
+    from graph_data_science_spark.operators.walks import SplitConfig, split_relationships
+
+    split = split_relationships(
+        graph, SplitConfig(holdout_fraction=holdout_fraction, seed=seed)
+    )
+    train_g = LinkGraph(nodes=graph.nodes, edges=split["train"].withColumn("weight", F.lit(1.0)))
+
+    if embeddings is None:
+        from graph_data_science_spark.operators.fastrp import FastRPConfig, fastrp
+
+        embeddings = fastrp(
+            train_g, FastRPConfig(embedding_dimension=embedding_dimension, seed=seed)
+        ).embeddings
+    emb = embeddings.cache()
+
+    # train pairs: train positives + an equal-sized negative sample disjoint
+    # from ALL true edges; test pairs: held-out positives + test negatives
+    train_pos = split["train"].select("src", "dst").withColumn("label", F.lit(1))
+    test_pos = split["test_pos"].select("src", "dst").withColumn("label", F.lit(1))
+    test_neg = split["test_neg"].select("src", "dst").withColumn("label", F.lit(0))
+    # negatives for training: reuse the seeded sampler with a shifted seed
+    from graph_data_science_spark.operators.walks import split_relationships as _sr
+    from graph_data_science_spark.operators.walks import SplitConfig as _SC
+
+    neg2 = _sr(graph, _SC(holdout_fraction=holdout_fraction, seed=seed + 1))["test_neg"]
+    train_neg = neg2.select("src", "dst").withColumn("label", F.lit(0))
+
+    train = _pair_features(train_pos.unionByName(train_neg), emb, combiner)
+    test = _pair_features(test_pos.unionByName(test_neg), emb, combiner)
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    lr = LogisticRegression(maxIter=30, featuresCol="features", labelCol="label")
+    model = lr.fit(train)
+    scored = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(scored)
+    res = LinkPredictionResult(
+        model=model,
+        test_auc=float(auc),
+        train_rows=train.count(),
+        test_rows=test.count(),
+    )
+    emb.unpersist()
+    return res
+
+
+@dataclass
+class NodeClassificationResult:
+    model: object
+    test_accuracy: float
+    train_rows: int
+    test_rows: int
+
+
+def node_classification_pipeline(
+    features: DataFrame,
+    id_col: str = "id",
+    features_col: str = "features",
+    label_col: str = "label",
+    holdout_fraction: float = 0.2,
+    seed: int = 42,
+) -> NodeClassificationResult:
+    """features: (id, features array<numeric>, label).  Deterministic
+    md5-bucket holdout, LogisticRegression, holdout accuracy."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    df = features.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(features_col).cast("array<double>")).alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("id"), F.lit(str(seed)))), 1, 6), 16, 10
+    ).cast("long")
+    cut = int(holdout_fraction * 16**6)
+    test = df.where(bucket < cut).cache()
+    train = df.where(bucket >= cut).cache()
+
+    lr = LogisticRegression(maxIter=30)
+    model = lr.fit(train)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(
+        model.transform(test)
+    )
+    out = NodeClassificationResult(
+        model=model,
+        test_accuracy=float(acc),
+        train_rows=train.count(),
+        test_rows=test.count(),
+    )
+    train.unpersist()
+    test.unpersist()
+    return out

@@ -177,3 +177,36 @@ def test_influence_maximization_picks_hub(spark):
     assert res.seeds[0][0] == 0
     assert res.spread_estimate > 1.0
     assert res.n_rr_sets == 100
+
+
+# -- ML pipelines -------------------------------------------------------------
+
+def test_link_prediction_pipeline(spark):
+    from graph_data_science_spark.operators.pipelines import link_prediction_pipeline
+
+    # two dense clusters with sparse cross-links: structure is learnable
+    edges = []
+    for base in (0, 20):
+        for i in range(20):
+            for j in (1, 2, 3, 5, 7):
+                a, b = base + i, base + (i + j) % 20
+                if a != b:
+                    edges.append((a, b))
+    edges += [(0, 20), (5, 25)]
+    g = LinkGraph.from_edges(spark, edges)
+    res = link_prediction_pipeline(g, embedding_dimension=32, holdout_fraction=0.25)
+    assert res.test_rows > 0 and res.train_rows > 0
+    assert res.test_auc > 0.6, f"AUC = {res.test_auc:.3f}"
+
+
+def test_node_classification_pipeline(spark):
+    from graph_data_science_spark.operators.pipelines import (
+        node_classification_pipeline,
+    )
+
+    # trivially separable features
+    rows = [(i, [float(i % 2) * 2 - 1, float(i)], i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label long")
+    res = node_classification_pipeline(df)
+    assert res.test_rows > 0
+    assert res.test_accuracy > 0.9

@@ -40,6 +40,24 @@ class LinkPredictionResult:
     metrics: list = field(default_factory=list)
 
 
+def _strip_summary(model):
+    """Round-trip the fitted model through ML persistence to drop its
+    trainingSummary: the summary holds a SparkSession reference, and
+    model.transform serializes the model into task closures — in a session
+    that has ever run a DataFrame Observation, that SparkSession graph
+    reaches the non-serializable ObservationManager and every downstream
+    action dies with Task-not-serializable (PySpark 4.1 interaction).
+    The persisted form is also the model-catalog analog of the reference's
+    pipeline (models are stored, not held by reference)."""
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    d = tempfile.mkdtemp(prefix="gds-lr-model-")
+    model.write().overwrite().save(d)
+    return LogisticRegressionModel.load(d)
+
+
 def _pair_features(edges: DataFrame, emb: DataFrame, combiner: str) -> DataFrame:
     """(src, dst, label) x embeddings -> (features vector, label)."""
     e1 = emb.select(F.col("id").alias("src"), F.col("embedding").alias("v1"))
@@ -106,14 +124,11 @@ def link_prediction_pipeline(
     test = _pair_features(test_pos.unionByName(test_neg), emb, combiner)
 
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     lr = LogisticRegression(maxIter=30, featuresCol="features", labelCol="label")
-    model = lr.fit(train)
+    model = _strip_summary(lr.fit(train))
     scored = model.transform(test)
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", metricName="areaUnderROC"
-    ).evaluate(scored)
+    auc = _auc(scored)
     res = LinkPredictionResult(
         model=model,
         test_auc=float(auc),
@@ -122,6 +137,35 @@ def link_prediction_pipeline(
     )
     emb.unpersist()
     return res
+
+
+def _auc(scored: DataFrame) -> float:
+    """Area under ROC via the Mann-Whitney rank-sum identity, computed with
+    DataFrame ops (mid-ranks for ties).  Avoids the RDD-based
+    BinaryClassificationEvaluator, whose task closures can trip over live
+    session state (ObservationManager) when Observation-heavy jobs ran
+    earlier in the same session."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql.window import Window
+
+    s = scored.select(
+        vector_to_array(F.col("probability"))[1].alias("p"),
+        F.col("label").cast("double").alias("label"),
+    )
+    # mid-rank for ties: avg of row_numbers within equal p
+    w = Window.orderBy("p")
+    ranked = s.withColumn("rn", F.row_number().over(w))
+    mid = ranked.groupBy("p").agg(F.avg("rn").alias("mr"))
+    j = ranked.join(mid, "p")
+    row = j.agg(
+        F.sum(F.when(F.col("label") == 1.0, F.col("mr"))).alias("rpos"),
+        F.sum((F.col("label") == 1.0).cast("long")).alias("npos"),
+        F.sum((F.col("label") == 0.0).cast("long")).alias("nneg"),
+    ).collect()[0]
+    npos, nneg = int(row["npos"] or 0), int(row["nneg"] or 0)
+    if npos == 0 or nneg == 0:
+        return 0.5
+    return (float(row["rpos"]) - npos * (npos + 1) / 2.0) / (npos * nneg)
 
 
 @dataclass
@@ -143,7 +187,6 @@ def node_classification_pipeline(
     """features: (id, features array<numeric>, label).  Deterministic
     md5-bucket holdout, LogisticRegression, holdout accuracy."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.functions import array_to_vector
 
     df = features.select(
@@ -159,10 +202,12 @@ def node_classification_pipeline(
     train = df.where(bucket >= cut).cache()
 
     lr = LogisticRegression(maxIter=30)
-    model = lr.fit(train)
-    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(
-        model.transform(test)
-    )
+    model = _strip_summary(lr.fit(train))
+    pred = model.transform(test)
+    row = pred.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("acc")
+    ).collect()[0]
+    acc = float(row["acc"] or 0.0)
     out = NodeClassificationResult(
         model=model,
         test_accuracy=float(acc),

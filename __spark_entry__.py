@@ -727,6 +727,54 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seed_expr():
+    """Synthetic seed values (for nodes with id % 10 == 0)."""
+    return (F.col("id") % 97 + 100000).cast("long")
+
+
+SEED_SQL = "CASE WHEN id % 10 = 0 THEN id % 97 + 100000 END"
+
+
+def q_wcc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded / incremental WCC: seeded nodes start from their seed, unseeded
+    from maxSeed + id + 1 — a component's id is its smallest seed when one
+    exists (IncrementalWcc semantics)."""
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    nodes = g.nodes.withColumn(
+        "seed", F.when(F.col("id") % 10 == 0, _seed_expr())
+    )
+    g2 = LinkGraph(nodes=nodes, edges=g.edges)
+    res = wcc_ops.wcc(g2, wcc_ops.WccConfig(seed_property="seed"))
+    return res.components.select("id", "comp")
+
+
+def q_labelprop_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (missing-seed rule maxSeed + id + 1,
+    InitStep.java:73-75), 10 unrolled rounds in the oracle."""
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    nodes = g.nodes.withColumn(
+        "seed", F.when(F.col("id") % 10 == 0, _seed_expr())
+    )
+    g2 = LinkGraph(nodes=nodes, edges=g.edges)
+    res = lp_ops.label_propagation(
+        g2, lp_ops.LabelPropagationConfig(max_iterations=10, seed_property="seed")
+    )
+    return res.labels.select("id", F.col("label").cast("long").alias("label"))
+
+
+def q_labelprop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation (vote weight = relationship weight), one
+    round on the weighted dense graph."""
+    _tune(spark)
+    g = _dense_weighted_graph(spark, sf_dir)
+    res = lp_ops.label_propagation(
+        g, lp_ops.LabelPropagationConfig(max_iterations=1, weighted=True)
+    )
+    return res.labels.select("id", F.col("label").cast("long").alias("label"))
+
+
 def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank: alpha mass only at sources {0, 7, 42}."""
     _tune(spark)
@@ -978,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_similarity_overlap": q_node_similarity_overlap,
         "wcc_consecutive": q_wcc_consecutive,
         "minhash_estimate": q_minhash_estimate,
+        "wcc_seeded": q_wcc_seeded,
+        "labelprop_seeded": q_labelprop_seeded,
+        "labelprop_weighted": q_labelprop_weighted,
     }
 
 
@@ -1179,11 +1230,11 @@ s{t} AS MATERIALIZED (SELECT id, auth, v / {norm.format(t=f'h{t}')} AS hub FROM 
     return "".join(parts)
 
 
-def _sql_labelprop_full(iters: int) -> str:
+def _sql_labelprop_full(iters: int, init: str = "id") -> str:
     """Unrolled sync label-propagation rounds (vote -> argmax, ties -> min)."""
     parts = [
         f"WITH {SQL_EDGES2.replace('edges2 AS (', 'edges2 AS MATERIALIZED (')}, {SQL_NODES2},\n"
-        "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes2)"
+        f"l0 AS MATERIALIZED (SELECT id, {init} AS label FROM nodes2)"
     ]
     for t in range(1, iters + 1):
         parts.append(f""",
@@ -1963,6 +2014,27 @@ SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_assigned,
 
     sqls["astar"] = _sql_astar(40)
     sqls["influence"] = _sql_influence()
+
+    seeded_init = (
+        f"COALESCE({SEED_SQL}, id + "
+        f"(SELECT MAX(id %% 97 + 100000) FROM nodes2 WHERE id %% 10 = 0) + 1)"
+    ).replace("%%", "%")
+    sqls["wcc_seeded"] = _sql_wcc(
+        "edges2", "nodes2", f"WITH RECURSIVE {SQL_EDGES2}, {SQL_NODES2}"
+    ).replace(
+        "SELECT 0, id, id FROM nodes2",
+        f"SELECT 0, id, {seeded_init} FROM nodes2",
+    )
+    sqls["labelprop_seeded"] = _sql_labelprop_full(10, init=seeded_init)
+    sqls["labelprop_weighted"] = f"""WITH {SQL_WEDGES}, {SQL_WNODES},
+votes AS (SELECT src AS id, dst AS lbl, weight AS w FROM wedges),
+top AS (
+  SELECT id, lbl,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, lbl ASC) AS rn
+  FROM votes
+)
+SELECT n.id, CAST(COALESCE(t.lbl, n.id) AS BIGINT) AS label
+FROM wnodes n LEFT JOIN (SELECT id, lbl FROM top WHERE rn = 1) t ON t.id = n.id"""
 
     sqls["hits"] = _sql_hits(10)
     sqls["labelprop"] = _sql_labelprop_full(10)

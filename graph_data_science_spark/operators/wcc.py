@@ -38,6 +38,11 @@ class WccConfig:
     max_rounds: int = 200
     checkpoint_path: str | None = None
     consecutive_ids: bool = False  # remap component ids to 0..k-1 by rank
+    # seeded / incremental (Wcc.java:90-104, IncrementalWccTest): nodes with
+    # a seed start from it; unseeded nodes start from maxSeed + id + 1 (the
+    # InitStep convention), so a component's id is its smallest seed when one
+    # is present and stays stable across incremental re-runs.
+    seed_property: str | None = None
 
 
 @dataclass
@@ -71,8 +76,17 @@ def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
         .cache()
     )
 
-    # comp(id) := id; changed := true
-    state = graph.nodes.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
+    # comp(id) := id (or seed; unseeded get maxSeed + id + 1); changed := true
+    if cfg.seed_property and cfg.seed_property in graph.nodes.columns:
+        max_seed = graph.nodes.agg(F.max(cfg.seed_property)).collect()[0][0]
+        max_seed = -1 if max_seed is None else int(max_seed)
+        init = F.coalesce(
+            F.col(cfg.seed_property).cast("long"),
+            F.col("id") + F.lit(max_seed + 1),
+        )
+    else:
+        init = F.col("id")
+    state = graph.nodes.select("id", init.alias("comp"), F.lit(True).alias("changed"))
     state = ckpt.checkpoint(state, 0)
 
     rounds, converged = cfg.max_rounds, False

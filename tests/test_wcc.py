@@ -59,3 +59,20 @@ class TestWcc:
         g = LinkGraph.from_edges(spark, edges, nodes=range(10))
         res = wcc(g, WccConfig(consecutive_ids=True))
         assert comp_map(res) == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 3}
+
+
+def test_wcc_seeded_incremental(spark):
+    from pyspark.sql import functions as F
+
+    # two components {0,1,2} and {5,6}; seeds: node 1 -> 100, node 6 -> 7
+    g = LinkGraph.from_edges(spark, [(0, 1), (1, 2), (5, 6)])
+    nodes = g.nodes.withColumn(
+        "seed",
+        F.when(F.col("id") == 1, 100).when(F.col("id") == 6, 7).cast("long"),
+    )
+    g2 = LinkGraph(nodes=nodes, edges=g.edges)
+    res = wcc(g2, WccConfig(seed_property="seed"))
+    comp = {r["id"]: r["comp"] for r in res.components.collect()}
+    # component ids = min(seed, maxSeed + unseeded_id + 1): seeds win
+    assert comp[0] == comp[1] == comp[2] == 100
+    assert comp[5] == comp[6] == 7

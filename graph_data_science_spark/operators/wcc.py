@@ -76,17 +76,15 @@ def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
         .cache()
     )
 
-    # comp(id) := id (or seed; unseeded get maxSeed + id + 1); changed := true
-    if cfg.seed_property and cfg.seed_property in graph.nodes.columns:
-        max_seed = graph.nodes.agg(F.max(cfg.seed_property)).collect()[0][0]
-        max_seed = -1 if max_seed is None else int(max_seed)
-        init = F.coalesce(
-            F.col(cfg.seed_property).cast("long"),
-            F.col("id") + F.lit(max_seed + 1),
-        )
-    else:
-        init = F.col("id")
-    state = graph.nodes.select("id", init.alias("comp"), F.lit(True).alias("changed"))
+    # comp(id) := id; changed := true.  Seeds are applied as a post-pass (see
+    # below): pointer jumping (comp := comp[comp]) indexes the comp table by
+    # node id, which is only sound while labels ARE node ids.  Iterating on
+    # seed labels directly would merge disconnected components whenever a seed
+    # value collides with an unrelated node's id.  Min-propagation over seed
+    # labels converges to min(init) per component, which equals relabelling
+    # the node-id fixpoint by min(init) over each component's members —
+    # connectivity is seed-independent.
+    state = graph.nodes.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
     state = ckpt.checkpoint(state, 0)
 
     rounds, converged = cfg.max_rounds, False
@@ -129,6 +127,26 @@ def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
                 break
 
     comps = state.select("id", "comp")
+    if cfg.seed_property and cfg.seed_property in graph.nodes.columns:
+        # Seeded / incremental relabel (Wcc.java:90-104, InitStep convention):
+        # seeded nodes contribute their seed, unseeded maxSeed + id + 1; the
+        # component's final id is the minimum such label among its members.
+        max_seed = graph.nodes.agg(F.max(cfg.seed_property)).collect()[0][0]
+        max_seed = -1 if max_seed is None else int(max_seed)
+        init = F.coalesce(
+            F.col(cfg.seed_property).cast("long"),
+            F.col("id") + F.lit(max_seed + 1),
+        )
+        seeds = graph.nodes.select("id", init.alias("_init"))
+        relabel = (
+            comps.join(seeds, "id")
+            .groupBy("comp")
+            .agg(F.min("_init").alias("_seed_comp"))
+        )
+        comps = (
+            comps.join(relabel, "comp")
+            .select("id", F.col("_seed_comp").alias("comp"))
+        )
     if cfg.consecutive_ids:
         comps = consecutive_ids(comps)
     return WccResult(comps, rounds, converged, ckpt.metrics)

@@ -76,3 +76,23 @@ def test_wcc_seeded_incremental(spark):
     # component ids = min(seed, maxSeed + unseeded_id + 1): seeds win
     assert comp[0] == comp[1] == comp[2] == 100
     assert comp[5] == comp[6] == 7
+
+
+def test_wcc_seeded_seed_collides_with_node_id(spark):
+    """A seed value equal to an unrelated node's id must NOT merge components.
+
+    Regression: pointer jumping indexed the comp table by label assuming
+    labels were node ids; with seed labels, seed(10)=20 pulled node 20's
+    component label into {10,11}.
+    """
+    from pyspark.sql import functions as F
+
+    g = LinkGraph.from_edges(spark, [(10, 11), (20, 21)])
+    nodes = g.nodes.withColumn(
+        "seed",
+        F.when(F.col("id") == 10, 20).when(F.col("id") == 21, 3).cast("long"),
+    )
+    g2 = LinkGraph(nodes=nodes, edges=g.edges)
+    res = wcc(g2, WccConfig(seed_property="seed"))
+    comp = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert comp == {10: 20, 11: 20, 20: 3, 21: 3}

@@ -304,12 +304,16 @@ def q_scalers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("x")
     )
-    out = scale_ops.scale_property(cust, "x", "MINMAX", out_col="minmax")
-    out = scale_ops.scale_property(out, "x", "STDSCORE", out_col="stdscore")
-    out = scale_ops.scale_property(out, "x", "MEAN", out_col="meanscale")
-    out = scale_ops.scale_property(out, "x", "L2NORM", out_col="l2norm")
-    out = scale_ops.scale_property(out, "x", "MAX", out_col="maxscale")
-    out = scale_ops.scale_property(out, "x", "L1NORM", out_col="l1norm")
+    # c_acctbal is exact at 2 decimals: derive the scale factors from exact
+    # BIGINT cent sums so they are identical under any partitioning (float
+    # sum order flipped ROUND at a boundary and broke the driver hash in r2).
+    st = scale_ops.exact_fixed_point_stats(cust, "x", decimals=2)
+    out = scale_ops.scale_property(cust, "x", "MINMAX", out_col="minmax", stats=st)
+    out = scale_ops.scale_property(out, "x", "STDSCORE", out_col="stdscore", stats=st)
+    out = scale_ops.scale_property(out, "x", "MEAN", out_col="meanscale", stats=st)
+    out = scale_ops.scale_property(out, "x", "L2NORM", out_col="l2norm", stats=st)
+    out = scale_ops.scale_property(out, "x", "MAX", out_col="maxscale", stats=st)
+    out = scale_ops.scale_property(out, "x", "L1NORM", out_col="l1norm", stats=st)
     return out.select(
         "id",
         F.round("minmax", 6).alias("minmax"),
@@ -1728,22 +1732,37 @@ SELECT ROUND(SUM(COALESCE(x.e_c, 0) / m.m - (f.vout * f.vin) / (m.m * m.m)), 6)
          AS modularity
 FROM full_v f LEFT JOIN internal x ON x.c = f.c, m"""
 
+    # Stats from exact BIGINT cent sums (order-independent), then the same
+    # double expression shapes as exact_fixed_point_stats — bit-identical to
+    # the Spark query under any partitioning.
     sqls["scalers"] = """WITH base AS (
-  SELECT c_custkey AS id, c_acctbal AS x FROM customer
+  SELECT c_custkey AS id, c_acctbal AS x,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS u FROM customer
+),
+su AS (
+  SELECT MIN(u) AS mn_u, MAX(u) AS mx_u, COUNT(*) AS n,
+         SUM(u) AS s_u, SUM(u * u) AS s2_u,
+         MAX(ABS(u)) AS amax_u, SUM(ABS(u)) AS l1_u FROM base
 ),
 st AS (
-  SELECT MIN(x) AS mn, MAX(x) AS mx, AVG(x) AS av,
-         SQRT(AVG(x * x) - AVG(x) * AVG(x)) AS sd,
-         SQRT(SUM(x * x)) AS l2,
-         MAX(ABS(x)) AS amax, SUM(ABS(x)) AS l1 FROM base
+  SELECT CAST(mn_u AS DOUBLE) / 100 AS mn,
+         CAST(mx_u AS DOUBLE) / 100 AS mx,
+         (mx_u - mn_u) / CAST(100 AS DOUBLE) AS rng,
+         (CAST(s_u AS DOUBLE) / n) / 100 AS av,
+         SQRT(CAST(s2_u AS DOUBLE) / n
+              - (CAST(s_u AS DOUBLE) / n) * (CAST(s_u AS DOUBLE) / n)) / 100 AS sd,
+         CAST(amax_u AS DOUBLE) / 100 AS amax,
+         CAST(l1_u AS DOUBLE) / 100 AS l1,
+         SQRT(CAST(s2_u AS DOUBLE)) / 100 AS l2
+  FROM su
 )
 SELECT id,
-       ROUND((x - st.mn) / (st.mx - st.mn), 6) AS minmax,
-       ROUND((x - st.av) / st.sd, 6) AS stdscore,
-       ROUND((x - st.av) / (st.mx - st.mn), 6) AS meanscale,
-       ROUND(x / st.l2, 6) AS l2norm,
-       ROUND(x / st.amax, 6) AS maxscale,
-       ROUND(x / st.l1, 6) AS l1norm
+       ROUND((x - st.mn) / st.rng, 6) + 0 AS minmax,
+       ROUND((x - st.av) / st.sd, 6) + 0 AS stdscore,
+       ROUND((x - st.av) / st.rng, 6) + 0 AS meanscale,
+       ROUND(x / st.l2, 6) + 0 AS l2norm,
+       ROUND(x / st.amax, 6) + 0 AS maxscale,
+       ROUND(x / st.l1, 6) + 0 AS l1norm
 FROM base, st"""
 
     sqls["dedup_exact"] = f"""WITH {SQL_DOCS_DUP}

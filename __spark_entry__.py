@@ -702,7 +702,18 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_data_science_spark.operators.scc import scc
 
     g = _sparse_graph(spark, sf_dir)
-    return scc(g).components.select("id", "comp")
+    # SCC's inner loops run dozens of tiny shuffle stages over a ~5k-node
+    # active set at this sf; 8 partitions keeps per-stage scheduling off the
+    # critical path (a cluster-scale caller sizes this to the active set).
+    # scc() runs eagerly (checkpointed supersteps), so restoring the conf
+    # after it returns cannot affect the returned (parquet-backed) frame.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        res = scc(g)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return res.components.select("id", "comp")
 
 
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:

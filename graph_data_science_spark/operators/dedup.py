@@ -195,24 +195,36 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: Optional[str] = None,
-    method: str = "lsh",
+    method: str = "exact",
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity: id1 < id2, cosine >= t.
 
-    Default `method="lsh"`: pairs only meet inside a random-hyperplane LSH
-    bucket (multi-table OR for recall) — the pair space never materializes as
-    a cartesian product, so this is the 100-TB path.  Near-duplicates are
-    near-parallel vectors, which collide with probability (1 - theta/pi)^
-    n_planes per table — high for the tiny angles a dedup threshold implies.
+    Default `method="exact"` honors the contract literally — ALL pairs with
+    cosine >= t, via blocked comparison (`block_col`, or ONE global block
+    when absent: quadratic, warned below).  The contract stays complete by
+    default; scale is an explicit choice.
 
-    `method="exact"` is the opt-in brute-force path: all pairs within a
-    block (`block_col`, or ONE global block when absent — quadratic; only
-    for small inputs and the correctness oracle).  Dot products run as JVM
-    higher-order functions — no Python either way.
+    `method="lsh"` is the 100-TB opt-in: pairs only meet inside a
+    random-hyperplane LSH bucket (multi-table OR for recall) — the pair
+    space never materializes as a cartesian product, but pairs whose vectors
+    collide in no table are MISSED.  Near-duplicates are near-parallel
+    vectors, which collide with probability (1 - theta/pi)^n_planes per
+    table — high for the tiny angles a dedup threshold implies.
+
+    Dot products run as JVM higher-order functions — no Python either way.
     """
+    if method == "exact" and block_col is None:
+        import warnings
+
+        warnings.warn(
+            "embedding_near_duplicates(method='exact') without block_col "
+            "compares all pairs (quadratic); pass block_col or opt into "
+            "method='lsh' for the approximate at-scale path",
+            stacklevel=2,
+        )
     e = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),

@@ -37,6 +37,12 @@ class AlgoSpec:
     result_df: Callable[[Any], DataFrame]  # extract (id, <value_col>) DF
     value_col: str
     kind: str  # 'community' | 'centrality'
+    # which config key carries the planned iteration count for the cost
+    # report, and its algorithm default (each wrapped algorithm names its
+    # loop bound differently: max_iterations / max_rounds / hits_iterations /
+    # max_levels / max_outer_rounds; non-iterative algorithms use (None, 1))
+    iter_key: str | None = "max_iterations"
+    default_iters: int = 20
 
 
 def _pagerank(variant: str):
@@ -59,6 +65,8 @@ def _wcc():
         lambda r: r.components.withColumnRenamed("comp", "component"),
         "component",
         "community",
+        iter_key="max_rounds",
+        default_iters=200,
     )
 
 
@@ -70,6 +78,7 @@ def _labelprop():
         lambda r: r.labels,
         "label",
         "community",
+        default_iters=10,
     )
 
 
@@ -81,6 +90,8 @@ def _triangles():
         lambda r: r.local_triangles.withColumnRenamed("triangles", "triangleCount"),
         "triangleCount",
         "centrality",
+        iter_key=None,
+        default_iters=1,
     )
 
 
@@ -97,6 +108,8 @@ def _degree():
         lambda r: r.df,
         "score",
         "centrality",
+        iter_key=None,
+        default_iters=1,
     )
 
 
@@ -108,6 +121,8 @@ def _louvain():
         lambda r: r.communities,
         "community",
         "community",
+        iter_key="max_levels",
+        default_iters=10,
     )
 
 
@@ -119,6 +134,8 @@ def _scc():
         lambda r: r.components.withColumnRenamed("comp", "component"),
         "component",
         "community",
+        iter_key="max_outer_rounds",
+        default_iters=50,
     )
 
 
@@ -130,6 +147,7 @@ def _hits():
         lambda r: r.scores.select("id", F.col("auth").alias("score"), "hub"),
         "score",
         "centrality",
+        iter_key="hits_iterations",
     )
 
 
@@ -148,6 +166,8 @@ def _closeness(harmonic: bool):
         lambda r: r.df,
         "score",
         "centrality",
+        iter_key="max_depth",
+        default_iters=32,
     )
 
 
@@ -164,6 +184,8 @@ def _betweenness():
         lambda r: r.df,
         "score",
         "centrality",
+        iter_key="max_depth",
+        default_iters=32,
     )
 
 
@@ -175,6 +197,7 @@ def _maxkcut():
         lambda r: r.assignment,
         "partition",
         "community",
+        default_iters=10,
     )
 
 
@@ -239,9 +262,12 @@ def run(
         raise ValueError(f"unknown mode {mode!r}; have {MODES}")
     spec = _ALGOS[algorithm]()
 
-    est = cost_report(
-        algorithm, graph.nodes, graph.edges, int(config.get("max_iterations", 20))
+    planned = (
+        int(config.get(spec.iter_key, spec.default_iters))
+        if spec.iter_key
+        else spec.default_iters
     )
+    est = cost_report(algorithm, graph.nodes, graph.edges, planned)
     result = spec.run(graph, config)
     df = spec.result_df(result)
     meta = {

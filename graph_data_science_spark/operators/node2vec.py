@@ -40,6 +40,14 @@ class Node2VecConfig:
     iterations: int = 1
     min_count: int = 0
     seed: int = 42
+    block_size: int = 4096  # adjacency block width (hub rows split)
+    # bias-evaluation candidate cap: nodes with degree <= cap get the exact
+    # node2vec distribution; above it, `cap` deterministically-sampled
+    # candidate ranks are re-weighted (importance approximation).  The
+    # reference caps nothing but runs shared-memory; this is the distributed
+    # analog of GDS's maxDegree escape hatch
+    # (algo/.../triangle/IntersectingTriangleCount.java:57).
+    neighbor_cap: int = 1024
     checkpoint_path: Optional[str] = None
 
 
@@ -59,18 +67,35 @@ def _rnd6(*cols) -> F.Column:
 def biased_random_walks(
     graph: LinkGraph, cfg: Optional[Node2VecConfig] = None
 ) -> DataFrame:
-    """walk_id, start, path — p/q-biased second-order walks."""
+    """walk_id, start, path — p/q-biased second-order walks.
+
+    Hub-safe formulation: no step ever materializes a full neighbor array or
+    scans N(prev) per candidate.  Per step, each live walker expands into at
+    most `neighbor_cap` candidate rows:
+
+    - degree <= cap: candidate i = rank i of the dst-sorted neighbor list
+      (the complete list — exact node2vec eq.-2 distribution);
+    - degree > cap: candidate i = rank md5(walk_id, step, i, seed) % degree
+      (deterministic uniform sample with replacement, re-weighted — the
+      bounded approximation; see Node2VecConfig.neighbor_cap).
+
+    Each candidate rank is fetched from the blocked adjacency (one block row
+    of width <= block_size), its N(prev) membership decided by a JOIN against
+    the edge table on (prev, x) — O(candidates) work instead of the
+    O(deg(cur) * deg(prev)) array_contains scan — and the winner picked by a
+    per-walker cumulative-weight window over the bounded candidate set.
+    """
     cfg = cfg or Node2VecConfig()
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    from pyspark.sql.window import Window
 
-    adj = (
-        graph.edges.select("src", "dst")
-        .distinct()
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .cache()
-    )
+    from graph_data_science_spark.operators.walks import blocked_adjacency
+
+    B, cap = cfg.block_size, cfg.neighbor_cap
+    e = graph.edges.select("src", "dst").distinct().cache()
+    adjb = blocked_adjacency(e, B).cache()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
 
     walks = graph.nodes.select("id").crossJoin(
         spark.range(cfg.walks_per_node).select(F.col("id").alias("walk_seq"))
@@ -88,50 +113,80 @@ def biased_random_walks(
     inv_q = 1.0 / cfg.in_out_factor
 
     for step in range(1, cfg.walk_length):
-        j = walks.join(adj, walks["cur"] == adj["src"], "left").drop("src")
-        j = j.join(
-            adj.select(F.col("src").alias("prev"), F.col("nbrs").alias("pnbrs")),
-            "prev",
+        live = (
+            walks.where(~F.col("done"))
+            .join(deg.withColumnRenamed("src", "cur"), "cur", "left")
+            .where(F.col("_deg").isNotNull())
+            .select("walk_id", "cur", "prev", "_deg")
+        )
+        # candidate ranks: exact enumeration under the cap, seeded sample above
+        n_cand = F.least(F.col("_deg"), F.lit(cap))
+        cand = live.withColumn(
+            "i", F.explode(F.sequence(F.lit(0), (n_cand - 1).cast("int")))
+        )
+        k_sampled = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(step)),
+                            F.col("i").cast("string"),
+                            F.lit(str(cfg.seed)),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("_deg")
+        )
+        cand = cand.withColumn(
+            "_k", F.when(F.col("_deg") <= cap, F.col("i").cast("long")).otherwise(k_sampled)
+        ).withColumn("_blk", (F.col("_k") / F.lit(B)).cast("long"))
+        cand = cand.join(
+            adjb.select(F.col("src").alias("cur"), F.col("block").alias("_blk"), "dsts"),
+            ["cur", "_blk"],
+        ).withColumn("x", F.element_at("dsts", (F.pmod(F.col("_k"), F.lit(B)) + 1).cast("int"))).drop("dsts")
+        # N(prev) membership via edge join (no per-candidate array scan)
+        cand = cand.join(
+            e.select(F.col("src").alias("prev"), F.col("dst").alias("x"), F.lit(1).alias("_cm")),
+            ["prev", "x"],
             "left",
         )
-        # unnormalized weight per candidate neighbor (node2vec eq. 2)
-        wts = F.transform(
-            "nbrs",
-            lambda x: F.when(F.col("prev").isNull(), F.lit(1.0))
-            .when(x == F.col("prev"), F.lit(inv_p))
-            .when(
-                F.array_contains(F.coalesce(F.col("pnbrs"), F.array()), x), F.lit(1.0)
+        # unnormalized node2vec eq.-2 weight
+        w = (
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("x") == F.col("prev"), F.lit(inv_p))
+            .when(F.col("_cm").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(inv_q))
+        )
+        cand = cand.withColumn("_w", w)
+        # cumulative-weight selection: r*W falls in exactly one [cum-w, cum)
+        # interval (intervals tile exactly: next row's cum-w IS this row's cum)
+        ww = Window.partitionBy("walk_id").orderBy("i")
+        wa = Window.partitionBy("walk_id")
+        r = _rnd6(F.col("walk_id"), F.lit(step), F.lit(cfg.seed))
+        sel = (
+            cand.withColumn("_cum", F.sum("_w").over(ww))
+            # total = max of the cumulative sum (NOT an independent sum(_w),
+            # whose last-ulp difference could push r*total past every
+            # interval): r in [0,1) guarantees r*max(_cum) < max(_cum), so
+            # exactly one [cum-w, cum) interval matches
+            .withColumn("_tot", F.max("_cum").over(wa))
+            .where(
+                (F.col("_cum") - F.col("_w") <= r * F.col("_tot"))
+                & (r * F.col("_tot") < F.col("_cum"))
             )
-            .otherwise(F.lit(inv_q)),
+            .groupBy("walk_id")
+            .agg(F.min("x").alias("_pick"))
         )
-        total = F.aggregate(wts, F.lit(0.0), lambda a, x: a + x)
-        r = _rnd6(F.col("walk_id"), F.lit(step), F.lit(cfg.seed)) * total
-        # cumulative-sum sampling: first candidate whose prefix sum exceeds r
-        zipped = F.zip_with(
-            "nbrs", wts, lambda nb, wt: F.struct(nb.alias("nb"), wt.alias("wt"))
-        )
-        picked = F.aggregate(
-            zipped,
-            F.struct(F.lit(-1).cast("long").alias("pick"), r.alias("rem")),
-            lambda acc, x: F.when(acc["pick"] >= 0, acc).otherwise(
-                F.when(
-                    acc["rem"] < x["wt"],
-                    F.struct(x["nb"].alias("pick"), acc["rem"].alias("rem")),
-                ).otherwise(
-                    F.struct(
-                        F.lit(-1).cast("long").alias("pick"),
-                        (acc["rem"] - x["wt"]).alias("rem"),
-                    )
-                )
-            ),
-        )["pick"]
-        # rounding guard: if the scan ran off the end, take the last neighbor
-        picked = F.when(picked >= 0, picked).otherwise(F.element_at("nbrs", -1))
-        pick = F.when(
-            F.col("done") | F.col("nbrs").isNull() | (F.size("nbrs") == 0),
-            F.lit(None).cast("long"),
-        ).otherwise(picked)
-        walks = j.select(
+        nxt = walks.join(sel, "walk_id", "left")
+        pick = F.when(F.col("done"), F.lit(None).cast("long")).otherwise(F.col("_pick"))
+        walks = nxt.select(
             "walk_id",
             "start",
             F.when(pick.isNull(), F.col("path"))
@@ -145,7 +200,9 @@ def biased_random_walks(
         )
         walks = ckpt.checkpoint(walks, step, name="n2v_walks")
 
-    adj.unpersist()
+    adjb.unpersist()
+    deg.unpersist()
+    e.unpersist()
     return walks.select("walk_id", "start", "path")
 
 

@@ -36,23 +36,45 @@ class RandomWalkConfig:
     walks_per_node: int = 2
     walk_length: int = 5
     seed: int = 42
+    block_size: int = 4096  # adjacency block width (hub rows split)
     checkpoint_path: Optional[str] = None
+
+
+def blocked_adjacency(edges: DataFrame, block_size: int) -> DataFrame:
+    """(src, block, dsts) — globally dst-sorted neighbor ranks split into
+    fixed-width blocks, so a 10M-degree hub is ~deg/block_size bounded rows
+    instead of one giant array row (CSR blocking, LinkGraph.adjacency
+    convention: rank k lives at block k//B, offset k%B)."""
+    ranked = edges.select(
+        "src",
+        "dst",
+        (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias("rn"),
+    )
+    return (
+        ranked.withColumn("block", (F.col("rn") / F.lit(block_size)).cast("long"))
+        .groupBy("src", "block")
+        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
+    )
 
 
 def random_walks(graph: LinkGraph, cfg: Optional[RandomWalkConfig] = None) -> DataFrame:
     """Rows: walk_id, start, path ARRAY<BIGINT> (length <= walk_length;
-    shorter when a dead-end is hit)."""
+    shorter when a dead-end is hit).
+
+    Hub-safe: the walker never touches a full neighbor array.  The sampled
+    rank k = md5(...) % degree is identical to indexing the full dst-sorted
+    list (so the SQL replay oracle is unchanged), but the fetch goes through
+    (degree join) -> (one block row of width <= block_size) — a hub's 10M
+    neighbors stay spread over ~deg/block_size rows.
+    """
     cfg = cfg or RandomWalkConfig()
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    B = cfg.block_size
 
-    adj = (
-        graph.edges.select("src", "dst")
-        .distinct()
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .cache()
-    )
+    e = graph.edges.select("src", "dst").distinct()
+    adjb = blocked_adjacency(e, B).cache()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
 
     walks = graph.nodes.select("id").crossJoin(
         spark.range(cfg.walks_per_node).select(F.col("id").alias("walk_seq"))
@@ -66,8 +88,8 @@ def random_walks(graph: LinkGraph, cfg: Optional[RandomWalkConfig] = None) -> Da
     walks = ckpt.checkpoint(walks, 0, name="walks")
 
     for step in range(1, cfg.walk_length):
-        nxt = walks.join(adj, walks["cur"] == adj["src"], "left")
-        # md5-hex-prefix pseudo-random index (replayable in ANSI SQL)
+        j = walks.join(deg.withColumnRenamed("src", "cur"), "cur", "left")
+        # md5-hex-prefix pseudo-random rank (replayable in ANSI SQL)
         rnd = F.conv(
             F.substring(
                 F.md5(
@@ -84,12 +106,23 @@ def random_walks(graph: LinkGraph, cfg: Optional[RandomWalkConfig] = None) -> Da
             16,
             10,
         ).cast("long")
-        pick = F.when(
-            F.col("done") | F.col("nbrs").isNull() | (F.size("nbrs") == 0), F.lit(None)
-        ).otherwise(
-            F.element_at("nbrs", (F.pmod(rnd, F.size("nbrs")) + 1).cast("int"))
+        j = j.withColumn(
+            "_k",
+            F.when(F.col("done") | F.col("_deg").isNull(), F.lit(None)).otherwise(
+                F.pmod(rnd, F.col("_deg"))
+            ),
         )
-        walks = nxt.select(
+        j = j.withColumn("_blk", (F.col("_k") / F.lit(B)).cast("long")).join(
+            adjb.select(
+                F.col("src").alias("cur"), F.col("block").alias("_blk"), "dsts"
+            ),
+            ["cur", "_blk"],
+            "left",
+        )
+        pick = F.when(F.col("_k").isNull() | F.col("dsts").isNull(), F.lit(None)).otherwise(
+            F.element_at("dsts", (F.pmod(F.col("_k"), F.lit(B)) + 1).cast("int"))
+        )
+        walks = j.select(
             "walk_id",
             "start",
             F.when(pick.isNull(), F.col("path")).otherwise(
@@ -100,7 +133,8 @@ def random_walks(graph: LinkGraph, cfg: Optional[RandomWalkConfig] = None) -> Da
         )
         walks = ckpt.checkpoint(walks, step, name="walks")
 
-    adj.unpersist()
+    adjb.unpersist()
+    deg.unpersist()
     return walks.select("walk_id", "start", "path")
 
 

@@ -348,3 +348,92 @@ def test_modes_extended_algorithms(spark):
         assert meta["estimate"]["est_edge_bytes"] != 0
     stats = run(g, "maxkcut", "stats", k=2, max_iterations=3)
     assert stats["communityCount"] <= 2
+
+
+def test_walks_hub_rows_stay_bounded(spark):
+    """VERDICT r2 #3: a high-degree hub must never materialize one giant
+    adjacency array row or O(deg^2) bias scans.  With block_size/cap forced
+    tiny, the blocked adjacency splits the hub across rows and both walk
+    engines still produce valid walks along real edges."""
+    from graph_data_science_spark.operators.node2vec import (
+        Node2VecConfig,
+        biased_random_walks,
+    )
+    from graph_data_science_spark.operators.walks import (
+        RandomWalkConfig,
+        blocked_adjacency,
+        random_walks,
+    )
+
+    hub_deg = 500
+    edges = [(0, i) for i in range(1, hub_deg + 1)] + [
+        (i, 0) for i in range(1, hub_deg + 1)
+    ]
+    g = _graph(spark, edges)
+
+    adjb = blocked_adjacency(
+        g.edges.select("src", "dst").distinct(), block_size=64
+    )
+    sizes = [r["n"] for r in adjb.selectExpr("size(dsts) AS n").collect()]
+    assert max(sizes) <= 64  # hub split into ceil(500/64) rows
+    assert adjb.where(F.col("src") == 0).count() == (hub_deg + 63) // 64
+
+    eset = set(edges)
+    w1 = random_walks(
+        g, RandomWalkConfig(walks_per_node=1, walk_length=4, block_size=64)
+    ).collect()
+    assert len(w1) == hub_deg + 1
+    for r in w1:
+        for a, b in zip(r["path"], r["path"][1:]):
+            assert (a, b) in eset
+
+    w2 = biased_random_walks(
+        g,
+        Node2VecConfig(
+            walks_per_node=1,
+            walk_length=4,
+            block_size=64,
+            neighbor_cap=32,  # hub degree 500 >> cap: sampled-candidate path
+            return_factor=2.0,
+            in_out_factor=0.5,
+        ),
+    ).collect()
+    assert len(w2) == hub_deg + 1
+    for r in w2:
+        assert len(r["path"]) == 4  # no dead ends in this graph
+        for a, b in zip(r["path"], r["path"][1:]):
+            assert (a, b) in eset
+
+
+def test_biased_walks_respect_pq_bias(spark):
+    """On a star + triangle fixture, q << 1 (inward bias) must make the
+    walker overwhelmingly pick common neighbors of (prev, cur)."""
+    from graph_data_science_spark.operators.node2vec import (
+        Node2VecConfig,
+        biased_random_walks,
+    )
+
+    # triangle 0-1-2 (with 0->2 so 2 is a common out-neighbor of prev=0)
+    # plus many far-away neighbors of 1.  Step 1 from 0 may go to 1 or 2;
+    # only walks that went 0->1 exercise the (prev=0, cur=1) bias step, where
+    # candidates are 0 (=prev, weight 1/p), 2 (common neighbor of 0,
+    # weight 1), 10..39 (weight 1/q).  With p=q=1000, mass concentrates
+    # overwhelmingly on node 2 (P[not 2] ~ 0.03 per walk).
+    edges = [(0, 1), (1, 2), (0, 2), (2, 0), (1, 0)] + [(1, i) for i in range(10, 40)]
+    g = _graph(spark, edges)
+    walks = biased_random_walks(
+        g,
+        Node2VecConfig(
+            walks_per_node=8,
+            walk_length=3,
+            return_factor=1000.0,
+            in_out_factor=1000.0,
+        ),
+    )
+    thirds = [
+        r["path"][2]
+        for r in walks.collect()
+        if r["path"][0] == 0 and len(r["path"]) > 2 and r["path"][1] == 1
+    ]
+    assert len(thirds) >= 2  # seeded: some 0-walks take the 0->1 branch
+    assert all(t == 2 for t in thirds), thirds

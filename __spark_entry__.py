@@ -19,6 +19,7 @@ make identical cuts.  Iterative algorithms run a FIXED number of supersteps
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -789,6 +790,71 @@ def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graphsage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE contract row: trained model embeds EVERY node at the
+    configured dimension with finite unit-norm vectors, the unsupervised
+    loss is finite and non-increasing epoch-over-epoch, and the model
+    inductively embeds an unseen node (id 10^9, features given, no
+    retraining) — the GraphSageTrainProcTest shape set."""
+    _tune(spark)
+    from graph_data_science_spark.operators.graphsage import (
+        GraphSageConfig,
+        degree_features,
+        graphsage_embeddings,
+        graphsage_train,
+    )
+
+    g = _sparse_graph(spark, sf_dir)
+    feats = degree_features(g, dim=8)
+    res = graphsage_train(
+        g,
+        feats,
+        GraphSageConfig(
+            embedding_dimension=16, sample_sizes=(8, 4), epochs=2,
+            max_iterations=3, batch_size=256, max_train_nodes=256, seed=42,
+        ),
+    )
+    emb = res.embeddings.cache()
+    n_rows = emb.count()
+    bad = emb.where(
+        F.exists("embedding", lambda x: F.isnan(x) | (F.abs(x) > 1e6))
+    ).count()
+    dim_ok = emb.where(F.size("embedding") != 16).count() == 0
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    norm_ok = emb.where(F.abs(norm - 1.0) > 1e-6).count() == 0
+    loss_ok = bool(res.epoch_losses) and all(
+        math.isfinite(x) for x in res.epoch_losses
+    ) and res.epoch_losses[-1] <= res.epoch_losses[0] + 1e-9
+    # inductive check on a toy graph the model never saw (constant cost,
+    # independent of sf): the stored weights embed brand-new nodes
+    new_id = 10**9
+    g2 = LinkGraph.from_edges(
+        spark, [(new_id, new_id + 1), (new_id + 1, new_id)]
+    )
+    f2 = spark.createDataFrame(
+        [(new_id, [0.5] * 8), (new_id + 1, [0.25] * 8)],
+        "id long, features array<double>",
+    )
+    ind = (
+        graphsage_embeddings(g2, f2, res.model)
+        .where(F.col("id") == new_id)
+        .collect()
+    )
+    inductive_ok = len(ind) == 1 and len(ind[0]["embedding"]) == 16
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(n_rows, int(bad), bool(dim_ok), bool(norm_ok), bool(loss_ok), bool(inductive_ok))],
+        "n_embedded long, n_nonfinite long, dim_ok boolean, norm_ok boolean,"
+        " loss_ok boolean, inductive_ok boolean",
+    )
+
+
 def _seed_expr():
     """Synthetic seed values (for nodes with id % 10 == 0)."""
     return (F.col("id") % 97 + 100000).cast("long")
@@ -1079,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "link_prediction": q_link_prediction,
         "node2vec": q_node2vec,
+        "graphsage": q_graphsage,
         "mst": q_mst,
         "max_k_cut": q_max_k_cut,
         "astar": q_astar,
@@ -2024,6 +2091,10 @@ SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_assigned,
     sqls["node2vec"] = f"""WITH {SQL_EDGES2}, {SQL_NODES2}
 SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_embedded,
        CAST(0 AS BIGINT) AS n_nonfinite, TRUE AS dim_ok"""
+    sqls["graphsage"] = f"""WITH {SQL_EDGES2}, {SQL_NODES2}
+SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_embedded,
+       CAST(0 AS BIGINT) AS n_nonfinite, TRUE AS dim_ok, TRUE AS norm_ok,
+       TRUE AS loss_ok, TRUE AS inductive_ok"""
 
     sqls["pagerank_personalized"] = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
 deg AS (SELECT src, COUNT(*)::DOUBLE AS degree FROM edges GROUP BY src),

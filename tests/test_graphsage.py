@@ -1,0 +1,155 @@
+"""GraphSAGE-lite: trained mean-aggregator embeddings, inductive predict.
+
+Shapes mirror algo/src/test/java/org/neo4j/gds/embeddings/graphsage/
+GraphSageModelTrainerTest / proc GraphSageTrainProcTest: training produces
+per-layer weights and epoch losses; generated embeddings have the configured
+dimension for every node; a trained model embeds UNSEEN nodes without
+retraining (the inductive contract)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.operators.graph import LinkGraph
+from graph_data_science_spark.operators.graphsage import (
+    GraphSageConfig,
+    GraphSageModel,
+    degree_features,
+    graphsage_embeddings,
+    graphsage_train,
+    sampled_adjacency,
+)
+
+
+def _graph(spark, edges):
+    return LinkGraph.from_edges(spark, edges)
+
+
+def _two_cliques(spark, m=6):
+    # two cliques bridged by one edge — embedding geometry should separate them
+    edges = []
+    for a in range(m):
+        for b in range(m):
+            if a != b:
+                edges.append((a, b))
+                edges.append((a + m, b + m))
+    edges.append((0, m))
+    return _graph(spark, edges)
+
+
+def test_sampled_adjacency_bounded_and_deterministic(spark):
+    hub = 300
+    edges = [(0, i) for i in range(1, hub + 1)] + [(1, 2), (2, 3)]
+    g = _graph(spark, edges)
+    a1 = sampled_adjacency(g.edges, k=7, seed=42, salt="t")
+    counts = {r["src"]: r["c"] for r in a1.groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts[0] == 7  # hub capped at k
+    assert counts[2] == 1  # degree < k kept whole
+    s1 = {(r["src"], r["dst"]) for r in a1.collect()}
+    s2 = {(r["src"], r["dst"]) for r in sampled_adjacency(g.edges, 7, 42, "t").collect()}
+    assert s1 == s2  # seeded md5 ranks: replayable
+    eset = set(edges)
+    assert s1 <= eset  # samples are real edges
+
+
+def test_graphsage_train_loss_and_shapes(spark):
+    g = _two_cliques(spark)
+    feats = degree_features(g, dim=4)
+    cfg = GraphSageConfig(
+        embedding_dimension=8, sample_sizes=(4, 3), epochs=4,
+        max_iterations=3, batch_size=64, max_train_nodes=12, seed=7,
+    )
+    res = graphsage_train(g, feats, cfg)
+    # layer weight shapes: W1 (8 x 4), W2 (8 x 8)
+    Ws = res.model.weight_arrays()
+    assert Ws[0].shape == (8, 4) and Ws[1].shape == (8, 8)
+    assert res.epoch_losses and all(math.isfinite(x) for x in res.epoch_losses)
+    # unsupervised loss must improve from the first epoch
+    assert res.epoch_losses[-1] <= res.epoch_losses[0]
+    rows = res.embeddings.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["embedding"]) == 8
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert abs(n - 1.0) < 1e-9  # final L2 normalization
+
+
+def test_graphsage_inductive_unseen_node(spark):
+    """Train on one graph; predict on an extended graph with a brand-new
+    node.  No retraining — the stored weights embed the new node, and an
+    isolated new node's embedding equals the closed-form numpy forward."""
+    g = _two_cliques(spark)
+    feats = degree_features(g, dim=4)
+    cfg = GraphSageConfig(
+        embedding_dimension=8, sample_sizes=(4, 3), epochs=2,
+        max_iterations=2, max_train_nodes=12, seed=7,
+    )
+    model = graphsage_train(g, feats, cfg).model
+
+    new_id = 99
+    fvec = [0.3, -0.2, 0.5, 0.1]
+    g2 = LinkGraph.from_edges(
+        spark,
+        [(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()]
+        + [(new_id, new_id + 1), (new_id + 1, new_id)],
+    )
+    feats2 = feats.unionByName(
+        spark.createDataFrame(
+            [(new_id, fvec), (new_id + 1, [0.0, 0.0, 0.0, 0.0])],
+            "id long, features array<double>",
+        )
+    )
+    emb2 = graphsage_embeddings(g2, feats2, model)
+    row = emb2.where(F.col("id") == new_id).collect()[0]
+    assert len(row["embedding"]) == 8
+    assert all(math.isfinite(x) for x in row["embedding"])
+
+    # closed-form parity for a fully isolated node (mean = self at both
+    # layers): normalize(act(W2 @ act(W1 @ x)))
+    iso_id, iso_vec = 500, [1.0, 2.0, -1.0, 0.5]
+    g3 = LinkGraph.from_edges(
+        spark,
+        [(0, 1), (1, 0)],
+        nodes=[0, 1, iso_id],
+    )
+    f3 = spark.createDataFrame(
+        [(0, [0.1] * 4), (1, [0.2] * 4), (iso_id, iso_vec)],
+        "id long, features array<double>",
+    )
+    got = (
+        graphsage_embeddings(g3, f3, model)
+        .where(F.col("id") == iso_id)
+        .collect()[0]["embedding"]
+    )
+    W1, W2 = model.weight_arrays()
+    sig = lambda x: 1.0 / (1.0 + np.exp(-x))
+    z = sig(W2 @ sig(W1 @ np.array(iso_vec)))
+    z = z / np.linalg.norm(z)
+    assert np.allclose(np.array(got), z, atol=1e-12)
+
+
+def test_graphsage_embeddings_deterministic(spark):
+    g = _two_cliques(spark)
+    feats = degree_features(g, dim=4)
+    model = GraphSageModel(
+        weights=[
+            np.random.RandomState(3).uniform(-0.5, 0.5, (8, 4)).tolist(),
+            np.random.RandomState(4).uniform(-0.5, 0.5, (8, 8)).tolist(),
+        ],
+        sample_sizes=(4, 3),
+        activation="sigmoid",
+        feature_dimension=4,
+        embedding_dimension=8,
+        seed=11,
+    )
+    a = sorted(
+        (r["id"], tuple(r["embedding"]))
+        for r in graphsage_embeddings(g, feats, model).collect()
+    )
+    b = sorted(
+        (r["id"], tuple(r["embedding"]))
+        for r in graphsage_embeddings(g, feats, model).collect()
+    )
+    assert a == b

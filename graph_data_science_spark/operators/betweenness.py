@@ -30,19 +30,82 @@ from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
 from graph_data_science_spark.session import no_aqe
 
+# All-sources exact mode materializes O(n * reachable) (root, id) pairs.
+# Above this node count, callers must either pass `sources=` (the
+# SelectionStrategy analog — see `select_sources_random_degree`) or opt in
+# with `exact=True`.  Mirrors the reference's explicit samplingSize knob
+# (algo/src/main/java/org/neo4j/gds/betweenness/SelectionStrategy.java).
+EXACT_ALL_SOURCES_LIMIT = 16384
+
+
+def guard_all_sources(graph: LinkGraph, sources, exact: bool, op_name: str):
+    """Resolve the source set; refuse silent all-sources exact runs on large
+    graphs (carried VERDICT item: the library default must not be a
+    web-scale O(n^2) footgun just because the caller omitted an arg)."""
+    if sources is not None:
+        return sources
+    n = graph.nodes.count()
+    if n > EXACT_ALL_SOURCES_LIMIT and not exact:
+        raise ValueError(
+            f"{op_name}: exact all-sources mode on {n} nodes materializes "
+            f"O(n*reachable) pairs. Pass sources= (e.g. "
+            f"select_sources_random_degree(graph, k)) to sample, or force "
+            f"with exact=True."
+        )
+    return graph.nodes
+
+
+def select_sources_random_degree(
+    graph: LinkGraph, k: int, seed: int = 42
+) -> DataFrame:
+    """Degree-weighted source sample without replacement — the
+    RandomDegreeSelectionStrategy analog (SelectionStrategy.java RANDOM_DEGREE).
+    Deterministic Efraimidis-Spirakis: key = -ln(u)/deg with u derived from
+    md5(id:seed); the k smallest keys win."""
+    deg = (
+        graph.edges.select(F.col("src").alias("id"))
+        .unionByName(graph.edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("id").cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float(16**8 + 1)
+    key = -F.log(u) / F.col("_d").cast("double")
+    return (
+        graph.nodes.select("id")
+        .join(deg, "id")
+        .withColumn("_key", key)
+        .orderBy("_key", "id")
+        .limit(k)
+        .select("id")
+    )
+
 
 def betweenness_centrality(
     graph: LinkGraph,
     sources: Optional[DataFrame] = None,
     orientation: Orientation = Orientation.NATURAL,
     max_depth: int = 100,
+    exact: bool = False,
 ) -> DataFrame:
     """id, score (unnormalized dependency sums, Brandes semantics)."""
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, None)
     edges = graph.oriented_edges(orientation).select("src", "dst").distinct().cache()
 
-    roots = (sources or graph.nodes).select(F.col("id").alias("root"))
+    roots = guard_all_sources(graph, sources, exact, "betweenness_centrality").select(
+        F.col("id").alias("root")
+    )
     # forward phase: levels[(root, id, level, sigma)]
     frontier = roots.select(
         "root", F.col("root").alias("id"), F.lit(0).alias("level"),

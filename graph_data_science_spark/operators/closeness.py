@@ -145,13 +145,22 @@ def hop_distances(
     orientation: Orientation = Orientation.NATURAL,
     sources: Optional[DataFrame] = None,
     max_depth: int = 100,
+    exact: bool = False,
 ) -> DataFrame:
-    """(root, id, dist) for every node `id` reachable from `root` in >= 1 hop."""
+    """(root, id, dist) for every node `id` reachable from `root` in >= 1 hop.
+
+    All-sources mode is guarded above EXACT_ALL_SOURCES_LIMIT nodes: pass
+    `sources=` (see betweenness.select_sources_random_degree) or exact=True.
+    """
+    from graph_data_science_spark.operators.betweenness import guard_all_sources
+
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, None)
     edges = graph.oriented_edges(orientation).select("src", "dst").distinct().cache()
 
-    roots = (sources or graph.nodes).select(F.col("id").alias("root"))
+    roots = guard_all_sources(graph, sources, exact, "hop_distances").select(
+        F.col("id").alias("root")
+    )
     frontier = roots.select("root", F.col("root").alias("id"), F.lit(0).alias("dist"))
     visited = frontier
     depth = 0

@@ -40,3 +40,48 @@ def test_sampled_sources_subset(spark):
     s = {r["id"]: r["score"] for r in betweenness_centrality(g, sources=srcs).collect()}
     # only source 0's dependencies: delta(1)=2, delta(2)=1
     assert s == {0: 0.0, 1: 2.0, 2: 1.0, 3: 0.0}
+
+
+def test_all_sources_guardrail(spark):
+    """VERDICT r2 #5: exact all-sources mode must be an explicit opt-in past
+    the node-count threshold — the library default may not silently schedule
+    O(n*reachable) pair materialization on a web-scale graph."""
+    import pytest
+
+    from graph_data_science_spark.operators.betweenness import (
+        EXACT_ALL_SOURCES_LIMIT,
+        select_sources_random_degree,
+    )
+    from graph_data_science_spark.operators.closeness import hop_distances
+
+    n = EXACT_ALL_SOURCES_LIMIT + 10
+    nodes = spark.range(n).withColumnRenamed("id", "id")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    g = LinkGraph(nodes=nodes, edges=edges.withColumn("weight", F.lit(1.0)))
+
+    with pytest.raises(ValueError, match="sources="):
+        betweenness_centrality(g)
+    with pytest.raises(ValueError, match="sources="):
+        hop_distances(g)
+
+    # explicit sampling and explicit exact=True both pass the guard
+    srcs = select_sources_random_degree(g, k=3)
+    assert srcs.count() == 3
+    assert betweenness_centrality(g, sources=srcs).count() == n
+    small = LinkGraph.from_edges(spark, [(0, 1), (1, 2)])
+    assert betweenness_centrality(small, exact=True).count() == 3
+
+
+def test_select_sources_random_degree_bias(spark):
+    """Degree-weighted selection: a 200x-degree hub is (deterministically,
+    via the seeded exponential keys) always in a small sample."""
+    from graph_data_science_spark.operators.betweenness import (
+        select_sources_random_degree,
+    )
+
+    hub_edges = [(0, i) for i in range(1, 201)] + [(i, i + 1000) for i in range(1, 51)]
+    g = LinkGraph.from_edges(spark, hub_edges)
+    s1 = {r["id"] for r in select_sources_random_degree(g, k=5, seed=7).collect()}
+    s2 = {r["id"] for r in select_sources_random_degree(g, k=5, seed=7).collect()}
+    assert s1 == s2  # deterministic
+    assert 0 in s1  # the hub dominates the weighted keys

@@ -292,8 +292,11 @@ def run(
             orientation=graph.orientation,
         )
         return mutated, meta
-    # write
+    # write — atomic snapshot publish (NativeNodePropertyExporter's
+    # transactional commit analog; see sources/atomic.py)
     if not write_path:
         raise ValueError("write mode requires write_path")
-    df.write.mode("overwrite").parquet(write_path)
+    from graph_data_science_spark.sources.atomic import atomic_parquet_overwrite
+
+    atomic_parquet_overwrite(df, write_path)
     return write_path, meta

@@ -31,9 +31,13 @@ class GraphCatalog:
 
     # -- GraphStoreCatalog.set ------------------------------------------------
     def save(self, name: str, graph: LinkGraph) -> dict:
+        """Atomic snapshot commit: nodes + edges + manifest are staged into a
+        fresh version dir and published with one rename (sources/atomic.py),
+        so a crash mid-save leaves the previous snapshot readable — the
+        NativeNodePropertyExporter transactional-write analog."""
+        from graph_data_science_spark.sources.atomic import atomic_publish_dir
+
         ns = self._ns(name)
-        graph.nodes.write.mode("overwrite").parquet(os.path.join(ns, "nodes"))
-        graph.edges.write.mode("overwrite").parquet(os.path.join(ns, "edges"))
         manifest = {
             "name": name,
             "node_count": graph.node_count(),
@@ -42,8 +46,14 @@ class GraphCatalog:
             "edge_columns": graph.edges.columns,
             "created_at": time.time(),
         }
-        with open(os.path.join(ns, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
+
+        def populate(staged: str) -> None:
+            graph.nodes.write.mode("overwrite").parquet(os.path.join(staged, "nodes"))
+            graph.edges.write.mode("overwrite").parquet(os.path.join(staged, "edges"))
+            with open(os.path.join(staged, "manifest.json"), "w") as f:
+                json.dump(manifest, f)
+
+        atomic_publish_dir(ns, populate)
         return manifest
 
     # -- GraphStoreCatalog.get ------------------------------------------------
@@ -67,10 +77,16 @@ class GraphCatalog:
 
     def drop(self, name: str) -> bool:
         ns = self._ns(name)
-        if os.path.exists(ns):
+        if not os.path.lexists(ns):
+            return False
+        if os.path.islink(ns):
+            from graph_data_science_spark.sources.atomic import versions_root
+
+            os.unlink(ns)
+            shutil.rmtree(versions_root(ns), ignore_errors=True)
+        else:  # legacy non-atomic namespace
             shutil.rmtree(ns)
-            return True
-        return False
+        return True
 
     # -- export/import (gds.beta.graph.export.csv analog) ----------------------
     def export_csv(self, name: str, out_path: str) -> None:

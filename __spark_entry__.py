@@ -1085,6 +1085,34 @@ def q_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank long, node_id long, covered long")
 
 
+def q_knn_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.knn over typed properties (SimilarityComputer dispatch,
+    algo/.../similarity/knn/SimilarityComputer.java): jaccard over a
+    long-array token-hash set + 1/(1+|Δ|) over the scalar n_chars, averaged.
+    Ranked on the ROUNDED score (ties -> neighbor_id) so both engines cut
+    identically; the operator runs un-truncated and the query re-ranks."""
+    docs = _documents(spark, sf_dir)
+    tid = F.array_distinct(
+        F.transform(
+            text_ops.tokens(F.col("text")),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("long"),
+        )
+    )
+    df = docs.select("doc_id", tid.alias("tid"), "n_chars")
+    out = ann_ops.knn_properties(
+        df,
+        {"tid": "jaccard", "n_chars": "abs_diff"},
+        k=1_000_000_000,
+        id_col="doc_id",
+        query_ids=[0, 1, 2, 3, 4],
+    )
+    scored = out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_corpus_pagerank(spark, "/root/testdata/sf0.001")
@@ -1156,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_similarity_overlap": q_node_similarity_overlap,
         "wcc_consecutive": q_wcc_consecutive,
         "minhash_estimate": q_minhash_estimate,
+        "knn_properties": q_knn_properties,
         "wcc_seeded": q_wcc_seeded,
         "labelprop_seeded": q_labelprop_seeded,
         "labelprop_weighted": q_labelprop_weighted,
@@ -2073,6 +2102,30 @@ SELECT d.id1, d.id2, ROUND(d.dot / (n1.nrm * n2.nrm), 6) AS cosine
 FROM dots d JOIN norms n1 ON n1.vec_id = d.id1
             JOIN norms n2 ON n2.vec_id = d.id2
 WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 6) >= 0.35"""
+
+    sqls["knn_properties"] = f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, n_chars,
+         list_distinct(list_transform({SQL_TOKENS}, t -> {_h6('md5(t)')})) AS tid
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         CASE WHEN len(list_distinct(a.tid || b.tid)) > 0
+              THEN len(list_intersect(a.tid, b.tid))::DOUBLE
+                   / len(list_distinct(a.tid || b.tid))
+              ELSE 0.0 END AS jac,
+         1.0 / (1.0 + abs(a.n_chars::DOUBLE - b.n_chars::DOUBLE)) AS nd
+  FROM toks a, toks b
+  WHERE a.doc_id < 5 AND a.doc_id <> b.doc_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND((jac + nd) / 2.0, 6) AS score FROM pairs
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 3"""
 
     sqls["k1coloring_valid"] = "SELECT CAST(0 AS BIGINT) AS conflicts"
     sqls["k1coloring"] = (

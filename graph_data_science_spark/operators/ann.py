@@ -210,6 +210,100 @@ def knn_refine(
     return cur
 
 
+def similarity_expr(metric: str, a, b):
+    """Per-property similarity — the SimilarityComputer dispatch
+    (algo/src/main/java/org/neo4j/gds/similarity/knn/SimilarityComputer.java
+    builds one computer per property type; DoubleArrayPropertySimilarityComputer
+    = cosine, LongArrayPropertySimilarityComputer = set overlap/jaccard,
+    Long/DoublePropertySimilarityComputer = 1/(1+|a-b|)).
+
+    All pure JVM column algebra — no UDFs:
+      cosine     double arrays
+      euclidean  double arrays, 1/(1+L2)
+      jaccard    long arrays as sets: |∩| / |∪|
+      overlap    long arrays as sets: |∩| / min(|A|,|B|)
+      abs_diff   scalars: 1/(1+|a-b|)
+    """
+    if metric == "cosine":
+        return _dot(a, b) / (_norm(a) * _norm(b))
+    if metric == "euclidean":
+        d2 = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.lit(1.0) / (F.lit(1.0) + F.sqrt(d2))
+    if metric == "jaccard":
+        inter = F.size(F.array_intersect(a, b)).cast("double")
+        union = F.size(F.array_union(a, b)).cast("double")
+        return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    if metric == "overlap":
+        inter = F.size(F.array_intersect(a, b)).cast("double")
+        mn = F.least(
+            F.size(F.array_distinct(a)), F.size(F.array_distinct(b))
+        ).cast("double")
+        return F.when(mn > 0, inter / mn).otherwise(F.lit(0.0))
+    if metric == "abs_diff":
+        return F.lit(1.0) / (
+            F.lit(1.0) + F.abs(a.cast("double") - b.cast("double"))
+        )
+    raise ValueError(f"unknown similarity metric {metric!r}")
+
+
+def knn_properties(
+    df: DataFrame,
+    properties: dict[str, str],
+    k: int = 5,
+    id_col: str = "id",
+    query_ids: Optional[list[int]] = None,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """gds.knn over arbitrary typed node properties: `properties` maps
+    column -> metric (see `similarity_expr`); the node score is the MEAN of
+    per-property similarities (SimilarityComputer.ofProperties combines
+    computers by averaging).  Returns (query_id, neighbor_id, score) top-k.
+
+    Scale path: pass `candidates` (query_id, neighbor_id pairs from
+    `lsh_ann_topk` for cosine-dominated property sets, or
+    dedup.lsh_candidate_pairs minhash bands for jaccard-dominated ones) and
+    only those pairs are scored — no cross product.  Without candidates the
+    query side must be small (broadcast against all rows), which is the
+    exact-oracle configuration.
+    """
+    cols = [id_col] + list(properties)
+    left = df.select(
+        *[F.col(c).alias(f"_q_{c}") for c in cols]
+    ).withColumnRenamed(f"_q_{id_col}", "query_id")
+    right = df.select(
+        *[F.col(c).alias(f"_n_{c}") for c in cols]
+    ).withColumnRenamed(f"_n_{id_col}", "neighbor_id")
+    if candidates is not None:
+        pairs = candidates.select("query_id", "neighbor_id").join(
+            left, "query_id"
+        ).join(right, "neighbor_id")
+    else:
+        if query_ids is not None:
+            left = left.where(
+                F.col("query_id").isin([int(x) for x in query_ids])
+            )
+        pairs = F.broadcast(left).crossJoin(right)
+    pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    sims = [
+        similarity_expr(m, F.col(f"_q_{c}"), F.col(f"_n_{c}"))
+        for c, m in properties.items()
+    ]
+    score = sims[0]
+    for s in sims[1:]:
+        score = score + s
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (score / F.lit(float(len(sims)))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
 def knn(
     embeddings: DataFrame,
     k: int = 5,

@@ -251,3 +251,51 @@ def test_auc_distributed_matches_exact(spark):
     rpos = sum(ranks[p] for p, _ in pos)
     want = (rpos - len(pos) * (len(pos) + 1) / 2.0) / (len(pos) * len(neg))
     assert abs(got - want) < 1e-12, (got, want)
+
+
+def test_knn_properties_multi_metric(spark):
+    """SimilarityComputer dispatch (VERDICT r2 task 9): jaccard over long
+    arrays, abs-diff over scalars, averaged across properties."""
+    from graph_data_science_spark.operators.ann import knn_properties
+
+    rows = [
+        (0, [1, 2, 3], 10),
+        (1, [1, 2, 3], 10),   # identical to 0 -> score 1.0
+        (2, [1, 2], 12),      # jac(0,2)=2/3, nd=1/3 -> 0.5
+        (3, [9], 100),        # jac=0, nd=1/91
+    ]
+    df = spark.createDataFrame(rows, "id long, tid array<long>, n bigint")
+    out = knn_properties(
+        df, {"tid": "jaccard", "n": "abs_diff"}, k=2, query_ids=[0]
+    )
+    got = {r["neighbor_id"]: r["score"] for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.5 * (2 / 3 + 1 / 3))
+
+    # candidate-driven scale path scores ONLY the supplied pairs
+    cand = spark.createDataFrame([(0, 3), (2, 0)], "query_id long, neighbor_id long")
+    out2 = knn_properties(df, {"tid": "jaccard", "n": "abs_diff"}, k=5, candidates=cand)
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out2.collect()}
+    assert pairs == {(0, 3), (2, 0)}
+
+
+def test_similarity_expr_metrics(spark):
+    from graph_data_science_spark.operators.ann import similarity_expr
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0], [1, 2, 3], [2, 3, 4], 5.0, 7.0)],
+        "a array<double>, b array<double>, la array<long>, lb array<long>, x double, y double",
+    )
+    row = df.select(
+        similarity_expr("cosine", F.col("a"), F.col("b")).alias("cos"),
+        similarity_expr("euclidean", F.col("a"), F.col("b")).alias("euc"),
+        similarity_expr("jaccard", F.col("la"), F.col("lb")).alias("jac"),
+        similarity_expr("overlap", F.col("la"), F.col("lb")).alias("ovl"),
+        similarity_expr("abs_diff", F.col("x"), F.col("y")).alias("ad"),
+    ).collect()[0]
+    assert row["cos"] == pytest.approx(0.0)
+    assert row["euc"] == pytest.approx(1.0 / (1.0 + math.sqrt(2.0)))
+    assert row["jac"] == pytest.approx(2 / 4)
+    assert row["ovl"] == pytest.approx(2 / 3)
+    assert row["ad"] == pytest.approx(1.0 / 3.0)

@@ -299,3 +299,39 @@ def test_similarity_expr_metrics(spark):
     assert row["jac"] == pytest.approx(2 / 4)
     assert row["ovl"] == pytest.approx(2 / 3)
     assert row["ad"] == pytest.approx(1.0 / 3.0)
+
+
+def test_dfs_preorder_and_exit_conditions(spark):
+    """DFS.java semantics: preorder with ascending-id neighbor exploration,
+    maxDepth bounds expansion, target node terminates the traversal."""
+    from graph_data_science_spark.operators.paths import dfs
+
+    #      0
+    #     / \
+    #    1   4
+    #   / \   \
+    #  2   3   5
+    g = LinkGraph.from_edges(spark, [(0, 1), (0, 4), (1, 2), (1, 3), (4, 5)])
+    out = dfs(g, 0).collect()
+    assert [r["id"] for r in out] == [0, 1, 2, 3, 4, 5]
+    assert {r["id"]: r["depth"] for r in out} == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 2}
+
+    # max_depth=1: grandchildren never visited
+    shallow = dfs(g, 0, max_depth=1).collect()
+    assert [r["id"] for r in shallow] == [0, 1, 4]
+
+    # target exit: traversal stops the moment 2 is popped
+    hit = dfs(g, 0, target_nodes=[2]).collect()
+    assert [r["id"] for r in hit] == [0, 1, 2]
+
+    # cycle safety
+    cyc = LinkGraph.from_edges(spark, [(0, 1), (1, 2), (2, 0)])
+    assert [r["id"] for r in dfs(cyc, 0).collect()] == [0, 1, 2]
+
+
+def test_dfs_guardrail(spark):
+    from graph_data_science_spark.operators.paths import dfs
+
+    g = LinkGraph.from_edges(spark, [(0, 1), (1, 2)])
+    with pytest.raises(ValueError, match="max_edges"):
+        dfs(g, 0, max_edges=1)

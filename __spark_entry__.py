@@ -1070,6 +1070,38 @@ def q_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_yens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yen's K=3 loopless shortest paths on the geo graph, source 0 ->
+    target = five applications of the deterministic '*7+3 mod n' edge rule
+    (reachable in <=5 hops by construction).  Oracle: exhaustive simple-path
+    enumeration bounded at 14 edges (branching factor is exactly 2, so
+    <=2^14 paths) ranked by (cost, path) — verified offline that the bound
+    is slack at the driver's sf (top-3 identical at depth 14 and 17)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.paths import yens
+
+    g = _geo_graph(spark, sf_dir)
+    n = g.nodes.count()
+    t = 0
+    for _ in range(5):
+        t = (t * 7 + 3) % n
+    got = yens(g, 0, int(t), k=3, max_rounds=50)
+    rows = [
+        (
+            i + 1,
+            int(0),
+            int(t),
+            round(cost, 4),
+            "->".join(str(x) for x in path),
+        )
+        for i, (cost, path) in enumerate(got)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path_index int, source bigint, target bigint, total_cost double, path_str string",
+    )
+
+
 def q_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIS influence maximization (CELF-objective analog): top-3 greedy seeds
     with covered-RR-set counts — FULLY replayed by the oracle (md5 roots,
@@ -1177,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst": q_mst,
         "max_k_cut": q_max_k_cut,
         "astar": q_astar,
+        "yens": q_yens,
         "influence": q_influence,
         "pagerank_personalized": q_pagerank_personalized,
         "closeness_wf": q_closeness_wf,
@@ -1700,6 +1733,56 @@ SELECT CAST(0 AS BIGINT) AS source, CAST({n} - 1 AS BIGINT) AS target,
     return "".join(parts)
 
 
+def _sql_yens(depth: int) -> str:
+    """Exact K=3 loopless shortest paths by exhaustive DISTINCT-edge simple-
+    path enumeration (branching factor 2 -> <=2^depth rows), ranked by
+    (cost, path lexicographic) — the Yens.java candidate ordering."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    hw = _h6("md5(src || ':' || dst || ':w')")
+    t_expr = "0"
+    for _ in range(5):
+        t_expr = f"(({t_expr}) * 7 + 3) % {n}"
+    return f"""WITH RECURSIVE gnodes AS MATERIALIZED (
+  SELECT doc_id AS id,
+         10.0 + (doc_id % 100) * 0.1 AS lat,
+         20.0 + FLOOR(doc_id / 100) * 0.1 AS lon
+  FROM documents
+),
+gpairs AS (
+  SELECT id AS src, (id * 7 + 3) % {n} AS dst, lat, lon FROM gnodes
+  UNION ALL
+  SELECT id AS src, (id * 13 + 7) % {n} AS dst, lat, lon FROM gnodes
+),
+ge AS MATERIALIZED (
+  SELECT DISTINCT src, dst,
+         (2.0 * 6371.0 * ASIN(SQRT(
+            POW(SIN(((10.0 + (dst % 100) * 0.1) - lat) * (PI() / 180.0) / 2), 2)
+            + COS(lat * (PI() / 180.0))
+              * COS((10.0 + (dst % 100) * 0.1) * (PI() / 180.0))
+              * POW(SIN(((20.0 + FLOOR(dst / 100) * 0.1) - lon) * (PI() / 180.0) / 2), 2)
+         ))) * (1.0 + ({hw}) / 16777216.0) AS w
+  FROM gpairs WHERE src <> dst
+),
+tgt AS MATERIALIZED (SELECT {t_expr} AS t),
+paths(cur, cost, path) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), [CAST(0 AS BIGINT)]
+  UNION ALL
+  SELECT e.dst, p.cost + e.w, list_append(p.path, e.dst)
+  FROM paths p JOIN ge e ON e.src = p.cur
+  WHERE len(p.path) <= {depth}
+    AND NOT list_contains(p.path, e.dst)
+    AND p.cur <> (SELECT t FROM tgt)
+)
+SELECT CAST(rn AS INT) AS path_index, CAST(0 AS BIGINT) AS source,
+       CAST((SELECT t FROM tgt) AS BIGINT) AS target,
+       ROUND(cost, 4) AS total_cost,
+       array_to_string(path, '->') AS path_str
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cost, path) AS rn
+  FROM paths WHERE cur = (SELECT t FROM tgt)
+) WHERE rn <= 3"""
+
+
 def _sql_influence() -> str:
     """Replay RIS influence maximization: md5 roots + percolation, bounded
     reverse closure, 3 unrolled greedy max-coverage picks."""
@@ -2221,6 +2304,7 @@ SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_assigned,
        TRUE AS k_ok, TRUE AS cut_ge_baseline"""
 
     sqls["astar"] = _sql_astar(40)
+    sqls["yens"] = _sql_yens(14)
     sqls["influence"] = _sql_influence()
 
     seeded_init = (

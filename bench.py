@@ -303,8 +303,48 @@ def run_scaling() -> None:
         f.write("```\n")
 
 
+def run_replicates(n: int) -> None:
+    """Run the full bench n times in fresh subprocesses; print per-query
+    medians ± spread (VERDICT r2 task 8: attribute bench regressions to noise
+    or code with replicates, not single samples)."""
+    import statistics
+
+    runs = []
+    for i in range(n):
+        out = subprocess.run(
+            [sys.executable, __file__], env=dict(os.environ),
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        runs.append(r)
+        print(f"replicate {i + 1}/{n}: total={r['value']}s", file=sys.stderr)
+    keys = sorted(runs[0]["queries"])
+    med = {
+        k: round(statistics.median([r["queries"][k] for r in runs]), 2)
+        for k in keys
+    }
+    spread = {
+        k: [round(min(r["queries"][k] for r in runs), 2),
+            round(max(r["queries"][k] for r in runs), 2)]
+        for k in keys
+    }
+    print(json.dumps({
+        "metric": "wall_s_total_median",
+        "value": round(statistics.median([r["value"] for r in runs]), 2),
+        "unit": "sec",
+        "queries": med,
+        "spread_min_max": spread,
+        "replicates": n,
+        "sf": runs[0]["sf"],
+        "cpus": runs[0]["cpus"],
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--replicates" in sys.argv:
+        run_replicates(int(sys.argv[sys.argv.index("--replicates") + 1]))
     else:
         print(json.dumps(run_once()))

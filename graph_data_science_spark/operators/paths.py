@@ -403,6 +403,90 @@ def astar(
     )
 
 
+def _yens_local(graph: LinkGraph, source: int, target: int, k: int, weighted: bool) -> list:
+    """Exact local Yen's over the collected edge list (small-graph fast path).
+
+    Same semantics as the distributed branch: min-id predecessor tie-breaks
+    in Dijkstra, candidates ordered by (cost, path)."""
+    import heapq
+
+    cols = ["src", "dst"] + (["weight"] if "weight" in graph.edges.columns else [])
+    adj: dict[int, list] = {}
+    for r in graph.edges.select(*cols).collect():
+        w = float(r["weight"]) if weighted and "weight" in cols else 1.0
+        adj.setdefault(int(r["src"]), []).append((int(r["dst"]), w))
+    for lst in adj.values():
+        lst.sort()
+
+    def dijkstra(src: int, banned_edges: set, banned_nodes: set):
+        if src in banned_nodes:
+            return None
+        dist: dict[int, float] = {src: 0.0}
+        pred: dict[int, int] = {}
+        done: set = set()
+        heap = [(0.0, src)]
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in done:
+                continue
+            done.add(u)
+            if u == target:
+                break
+            for v, w in adj.get(u, ()):
+                if v in banned_nodes or (u, v) in banned_edges:
+                    continue
+                nd = d + w
+                if v not in dist or nd < dist[v]:
+                    dist[v] = nd
+                    pred[v] = u
+                    heapq.heappush(heap, (nd, v))
+                elif nd == dist[v] and pred.get(v, v) > u:
+                    pred[v] = u
+        if target not in dist or target not in done:
+            return None
+        path = [target]
+        while path[-1] != src:
+            path.append(pred[path[-1]])
+        return dist[target], path[::-1]
+
+    first = dijkstra(source, set(), set())
+    if first is None:
+        return []
+    accepted = [first]
+    candidates: list = []
+    seen = {tuple(first[1])}
+    while len(accepted) < k:
+        _, prev_path = accepted[-1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            banned_edges = set()
+            for (_, p) in accepted:
+                if len(p) > i and p[: i + 1] == root:
+                    banned_edges.add((p[i], p[i + 1]))
+            banned_nodes = set(root[:-1])
+            tail = dijkstra(spur, banned_edges, banned_nodes)
+            if tail is None:
+                continue
+            tail_cost, tail_path = tail
+            root_cost = 0.0
+            for j in range(i):
+                root_cost += min(
+                    w for v, w in adj.get(prev_path[j], ()) if v == prev_path[j + 1]
+                )
+            full = root[:-1] + tail_path
+            key = tuple(full)
+            if key in seen:
+                continue
+            seen.add(key)
+            candidates.append((root_cost + tail_cost, full))
+        if not candidates:
+            break
+        candidates.sort(key=lambda t: (t[0], t[1]))
+        accepted.append(candidates.pop(0))
+    return accepted
+
+
 def yens(
     graph: LinkGraph,
     source: int,
@@ -410,6 +494,7 @@ def yens(
     k: int = 3,
     weighted: bool = True,
     max_rounds: int = 100,
+    local_threshold: int = 200_000,
 ) -> list:
     """K loopless shortest paths (Yens.java semantics): list of
     (total_cost, [node ids]) sorted by cost, at most k entries.
@@ -418,7 +503,16 @@ def yens(
     node of each accepted path, rerun SSSP on the graph minus the edges
     shared with already-accepted paths at that spur prefix and minus the
     prefix nodes (loopless constraint).
+
+    The spur loop is inherently sequential (Yens.java runs sequential
+    Dijkstras too), so each spur SSSP pays a full distributed-iteration
+    round-trip.  Below `local_threshold` edges the whole run therefore
+    switches to an exact local Dijkstra over the collected edge list —
+    identical costs/paths/tie-breaking, ~100x less driver latency; the
+    distributed path remains the default for graphs that don't fit.
     """
+    if graph.relationship_count() <= local_threshold:
+        return _yens_local(graph, source, target, k, weighted)
     first = _path_to(graph, source, target, weighted, max_rounds, set(), set())
     if first is None:
         return []

@@ -335,3 +335,22 @@ def test_dfs_guardrail(spark):
     g = LinkGraph.from_edges(spark, [(0, 1), (1, 2)])
     with pytest.raises(ValueError, match="max_edges"):
         dfs(g, 0, max_edges=1)
+
+
+def test_yens_local_matches_distributed(spark):
+    """The small-graph local fast path must return exactly what the
+    distributed spur loop returns (costs, paths, ordering)."""
+    from graph_data_science_spark.operators.paths import yens
+
+    edges = [
+        (0, 1, 1.0), (1, 5, 1.0),
+        (0, 2, 1.0), (2, 5, 1.5),
+        (0, 3, 2.0), (3, 5, 1.0),
+        (1, 2, 0.3),
+    ]
+    g = _graph(spark, edges)
+    local = yens(g, 0, 5, k=3)                       # local_threshold default
+    dist = yens(g, 0, 5, k=3, local_threshold=0)     # force distributed branch
+    assert [(round(c, 9), p) for c, p in local] == [
+        (round(c, 9), p) for c, p in dist
+    ]

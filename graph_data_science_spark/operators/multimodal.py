@@ -2,12 +2,18 @@
 
 Media are opaque `binary` columns with typed metadata; decode / feature
 extraction / resize / frame-sample run as Arrow-batched `mapInPandas`
-transforms.  The actual codec step is STUBBED in this environment (no
-image/audio libraries in the container): with `fake=True` every stage emits
-deterministic hash-derived features so the Spark-side plumbing — schema,
-batch shape, partitioning — is real and tested; with `fake=False` the codec
-boundary raises NotImplementedError where a real decoder (PIL/ffmpeg) would
-plug in.
+transforms.  Codec status (operators/codecs.py):
+
+- REAL pure-numpy decode/encode for container-free formats: PPM (P6),
+  uncompressed 24-bit BMP, PCM WAV — `fake=False` genuinely decodes these
+  and featurizes the pixels/samples (channel stats + histograms), and
+  `resize` does a real nearest-neighbor resample.
+- Entropy-coded formats (JPEG/PNG/MP4) still raise NotImplementedError at
+  the codec boundary — decoding those without an image/audio library would
+  mean reimplementing Huffman/DEFLATE; PIL/ffmpeg plug in at exactly that
+  seam on a real cluster.
+- `fake=True` keeps the deterministic hash-derived stand-in features (used
+  by the driver oracle, stable across engines).
 """
 
 # NOTE: no `from __future__ import annotations` — pandas UDF type inference
@@ -58,6 +64,30 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     )
 
 
+def synth_decodable_media(spark, n: int = 30, seed: int = 42) -> DataFrame:
+    """Media table whose payloads are REAL encoded PPM / BMP images and PCM
+    WAV clips (deterministic numpy content) — exercises the fake=False
+    decode path end to end."""
+    import numpy as np
+
+    from graph_data_science_spark.operators import codecs
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed + i)
+        kind = i % 3
+        if kind == 0:
+            img = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+            rows.append((i, bytearray(codecs.encode_ppm(img)), "image/x-portable-pixmap", 32, 24))
+        elif kind == 1:
+            img = rng.randint(0, 256, size=(16, 20, 3), dtype=np.uint8)
+            rows.append((i, bytearray(codecs.encode_bmp(img)), "image/bmp", 20, 16))
+        else:
+            x = rng.uniform(-0.5, 0.5, size=800)
+            rows.append((i, bytearray(codecs.encode_wav(x, 8000)), "audio/wav", None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fake_feature(payload: bytes, dim: int) -> list:
     """Deterministic feature vector from payload bytes (stands in for a real
     encoder; stable across partitionings)."""
@@ -74,14 +104,22 @@ def extract_features(
     """Decode + featurize each media payload via Arrow-batched mapInPandas."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graph_data_science_spark.operators import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires an image/audio codec library "
-                    "not present in this environment; pass fake=True for the "
-                    "deterministic stub"
-                )
-            feats = [_fake_feature(p, dim) for p in pdf["payload"]]
+            if fake:
+                feats = [_fake_feature(p, dim) for p in pdf["payload"]]
+            else:
+                feats = []
+                for p, mime in zip(pdf["payload"], pdf["mime"]):
+                    p = bytes(p or b"")
+                    if p[:4] == b"RIFF":
+                        samples, rate = codecs.decode_wav(p)
+                        feats.append(codecs.audio_features(samples, rate, dim))
+                    else:
+                        feats.append(
+                            codecs.image_features(codecs.decode_image(p, mime), dim)
+                        )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -95,14 +133,28 @@ def extract_features(
 
 
 def resize_stub(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize plumbing: passes payload through the Arrow boundary and rewrites
-    metadata; the pixel transform itself is the stubbed codec step."""
+    """Resize over the Arrow boundary.  fake=True only rewrites metadata;
+    fake=False really resamples decodable payloads (PPM/BMP, nearest
+    neighbor) and re-encodes in the same container."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graph_data_science_spark.operators import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires an image library")
             pdf = pdf.copy()
+            if not fake:
+                out = []
+                for p in pdf["payload"]:
+                    p = bytes(p or b"")
+                    img = codecs.resize_nearest(
+                        codecs.decode_image(p), width, height
+                    )
+                    out.append(
+                        codecs.encode_bmp(img)
+                        if p[:2] == b"BM"
+                        else codecs.encode_ppm(img)
+                    )
+                pdf["payload"] = out
             pdf["width"] = width
             pdf["height"] = height
             yield pdf

@@ -764,6 +764,37 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-classification pipeline contract row over the embeddings table.
+    The stored `label` column is independent of the vectors (measured
+    accuracy = chance), so the query classifies a genuinely learnable label —
+    sign(embedding[0]) — which the pipeline does not know: a linear model
+    must recover it from held-out data (accuracy >> 0.5 floor).  Split
+    counts are exact md5-replays."""
+    _tune(spark)
+    from graph_data_science_spark.operators.pipelines import (
+        node_classification_pipeline,
+    )
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("features"),
+        (F.element_at("embedding", 1) > 0).cast("int").alias("label"),
+    )
+    res = node_classification_pipeline(emb, holdout_fraction=0.2, seed=42)
+    return spark.createDataFrame(
+        [
+            (
+                int(res.train_rows),
+                int(res.test_rows),
+                bool(res.test_accuracy > 0.9),
+                bool(0.0 <= res.test_accuracy <= 1.0),
+            )
+        ],
+        "train_rows long, test_rows long, acc_above_floor boolean, acc_in_range boolean",
+    )
+
+
 def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec contract row: full vocabulary coverage (every node walks, so
     every node gets an embedding), correct dimension, all-finite values."""
@@ -1210,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_k_cut": q_max_k_cut,
         "astar": q_astar,
         "yens": q_yens,
+        "node_classification": q_node_classification,
         "influence": q_influence,
         "pagerank_personalized": q_pagerank_personalized,
         "closeness_wf": q_closeness_wf,
@@ -2401,6 +2433,15 @@ bucketed AS (SELECT src, dst, {hexval} AS bucket FROM hashed)"""
         f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
         for i in range(6)
     )
+    nc_hex = _h6("md5(vec_id || ':42')")
+    nc_cut = int(0.2 * 16**6)
+    sqls["node_classification"] = f"""SELECT
+  SUM(CASE WHEN ({nc_hex}) >= {nc_cut} THEN 1 ELSE 0 END)::BIGINT AS train_rows,
+  SUM(CASE WHEN ({nc_hex}) < {nc_cut} THEN 1 ELSE 0 END)::BIGINT AS test_rows,
+  TRUE AS acc_above_floor,
+  TRUE AS acc_in_range
+FROM embeddings"""
+
     sqls["link_prediction"] = f"""WITH {_sql_corpus_edges()},
 lp_idmap AS (
   SELECT doc_id,

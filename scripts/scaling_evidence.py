@@ -58,7 +58,7 @@ def run_sample(cpus: int, k: int = 4, rep: int = 64) -> dict:
     code = WORKER % {"repo": REPO}
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus), str(k), str(rep)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("SAMPLE "):

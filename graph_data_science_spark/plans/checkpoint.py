@@ -92,9 +92,29 @@ class SuperstepCheckpointer:
         # renames task-side, so a job dying mid-write can leave SOME part
         # files visible.  An explicit commit manifest (written only after the
         # parquet write returns) is the durability barrier resume trusts.
+        # The manifest doubles as the per-partition lineage record (north
+        # rule: "checkpoints per-partition lineage"): row count per part file
+        # read from the parquet footers — no Spark job.
         parts = sorted(f for f in os.listdir(p) if f.startswith("part-"))
+        lineage = {}
+        try:
+            import pyarrow.parquet as pq
+
+            for part in parts:
+                lineage[part] = pq.ParquetFile(os.path.join(p, part)).metadata.num_rows
+        except Exception:  # lineage is best-effort; the commit barrier is not
+            lineage = {}
         with open(os.path.join(p, "_COMMITTED"), "w") as fh:
-            json.dump({"superstep": superstep, "name": name, "parts": parts}, fh)
+            json.dump(
+                {
+                    "superstep": superstep,
+                    "name": name,
+                    "parts": parts,
+                    "rows_per_part": lineage,
+                    "total_rows": sum(lineage.values()) if lineage else None,
+                },
+                fh,
+            )
         return self.spark.read.schema(schema).parquet(p)
 
     def _state_path(self, superstep: int, name: str = "state") -> str:

@@ -337,6 +337,19 @@ def test_pagerank_resume_from_durable_checkpoint(spark, tmp_path):
     c2 = SuperstepCheckpointer(spark, ck)
     assert c2.latest_superstep() == 8
 
+    # _COMMITTED doubles as the per-partition lineage record: every committed
+    # superstep lists rows per part file summing to the node count
+    committed = sorted(
+        d for d in _os.listdir(_os.path.join(ck, "state"))
+        if d.startswith("state_superstep=") and "777" not in d
+    )
+    assert committed
+    for d in committed:
+        with open(_os.path.join(ck, "state", d, "_COMMITTED")) as f:
+            mf = _json.load(f)
+        assert set(mf["rows_per_part"]) == set(mf["parts"])
+        assert mf["total_rows"] == g.nodes.count()
+
 
 def test_modes_extended_algorithms(spark):
     from graph_data_science_spark.operators.modes import run

@@ -84,13 +84,26 @@ def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
     # labels converges to min(init) per component, which equals relabelling
     # the node-id fixpoint by min(init) over each component's members —
     # connectivity is seed-independent.
-    state = graph.nodes.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
-    state = ckpt.checkpoint(state, 0)
+    # resume (north rule: every superstep resumable mid-iteration): with a
+    # durable checkpoint path, continue from the latest COMMITTED round —
+    # min-label propagation is monotone, so restarting from any committed
+    # state converges to the same fixpoint.
+    start_r = 0
+    resumed = ckpt.latest_superstep()
+    if resumed is not None and 0 < resumed < cfg.max_rounds:
+        state = ckpt.load(resumed)
+        start_r = resumed
+        ckpt.log(resumed, algorithm="wcc", resumed_from=resumed)
+    else:
+        state = graph.nodes.select(
+            "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
+        )
+        state = ckpt.checkpoint(state, 0)
 
     rounds, converged = cfg.max_rounds, False
     t0 = time.time()
     with no_aqe(spark):
-        for r in range(1, cfg.max_rounds + 1):
+        for r in range(start_r + 1, cfg.max_rounds + 1):
             frontier = state.where("changed").select("id", "comp")
             # neighbor-min: each changed node offers its comp to its neighbors
             offers = (

@@ -96,3 +96,25 @@ def test_wcc_seeded_seed_collides_with_node_id(spark):
     res = wcc(g2, WccConfig(seed_property="seed"))
     comp = {r["id"]: r["comp"] for r in res.components.collect()}
     assert comp == {10: 20, 11: 20, 20: 3, 21: 3}
+
+
+def test_wcc_resume_from_durable_checkpoint(spark, tmp_path):
+    """North rule: runs resume mid-iteration from committed state, converging
+    to the same components as an uninterrupted run."""
+    from graph_data_science_spark.operators.wcc import WccConfig, wcc
+
+    # long path graph so convergence takes several rounds
+    edges = [(i, i + 1) for i in range(30)]
+    g = LinkGraph.from_edges(spark, edges)
+    ck = str(tmp_path / "wcc_ck")
+
+    gold = wcc(g)
+    gold_m = {r["id"]: r["comp"] for r in gold.components.collect()}
+
+    partial = wcc(g, WccConfig(max_rounds=2, checkpoint_path=ck))
+    assert not partial.did_converge
+    res = wcc(g, WccConfig(checkpoint_path=ck))
+    assert any(m.get("resumed_from") == 2 for m in res.metrics)
+    assert res.did_converge
+    got = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert got == gold_m

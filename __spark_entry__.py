@@ -422,12 +422,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bucket hashes themselves use xxhash64, which SQL cannot replay —
     the recall bound is the verifiable invariant)."""
     emb = _embeddings(spark, sf_dir).cache()
-    exact = ann_ops.cosine_topk(
-        emb, [r["vec_id"] for r in emb.select("vec_id").collect()], k=5
-    ).select("query_id", "neighbor_id")
-    approx = ann_ops.knn(emb, k=5, rounds=2).select("query_id", "neighbor_id")
-    n_exact = exact.count()
-    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    # NN-Descent chains ~16 small joins; size the shuffle to the DATA for the
+    # duration (all execution happens inside this function via the counts —
+    # the returned row is a literal), then restore the session setting.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n_vec = emb.count()
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev), max(4, n_vec // 250)))
+    )
+    try:
+        exact = ann_ops.cosine_topk(
+            emb, [r["vec_id"] for r in emb.select("vec_id").collect()], k=5
+        ).select("query_id", "neighbor_id")
+        approx = ann_ops.knn(emb, k=5, rounds=2).select("query_id", "neighbor_id")
+        n_exact = exact.count()
+        n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     recall = n_hit / max(n_exact, 1)
     return spark.createDataFrame(
         [(int(n_exact > 0), bool(recall >= 0.9))],

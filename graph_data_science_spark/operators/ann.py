@@ -153,11 +153,20 @@ def knn_refine(
     clustered data (the NN-Descent property: a neighbor's neighbor is likely
     a neighbor).
     """
+    from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
+
+    spark = embeddings.sparkSession
+    ckpt = SuperstepCheckpointer(spark, None)
     base = embeddings.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
     ).withColumn("_n", _norm(F.col("_v")))
     cur = topk.select("query_id", "neighbor_id", "cosine")
-    for _ in range(rounds):
+    # each round references `cur` six times (fwd x2, rev x2, anti-join,
+    # union); materialize once per round or the plan recomputes the whole
+    # history geometrically (parquet round-trip, not localCheckpoint — see
+    # plans/checkpoint.py on sizeInBytes blowup)
+    cur = ckpt.checkpoint(cur, 0, name="knn")
+    for r in range(rounds):
         fwd = (
             cur.select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("mid"))
             .join(
@@ -207,6 +216,7 @@ def knn_refine(
             .where(F.col("rn") <= k)
             .drop("rn")
         )
+        cur = ckpt.checkpoint(cur, r + 1, name="knn")
     return cur
 
 

@@ -446,6 +446,35 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN quality contract: recall@5 of n_probe=6/8-list probing
+    vs the exact brute-force top-5 (measured 0.924 at sf0.01; kmeans
+    centroids are float fixpoints SQL cannot replay — the recall bound is
+    the verifiable invariant)."""
+    emb = _embeddings(spark, sf_dir).cache()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n_vec = emb.count()
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev), max(4, n_vec // 250)))
+    )
+    try:
+        exact = ann_ops.cosine_topk(
+            emb, [r["vec_id"] for r in emb.select("vec_id").collect()], k=5
+        ).select("query_id", "neighbor_id")
+        approx = ann_ops.ivf_topk(emb, k=5, n_lists=8, n_probe=6).select(
+            "query_id", "neighbor_id"
+        )
+        n_exact = exact.count()
+        n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    recall = n_hit / max(n_exact, 1)
+    return spark.createDataFrame(
+        [(int(n_exact > 0), bool(recall >= 0.8))],
+        "has_results long, recall_ge_080 boolean",
+    )
+
+
 def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-1 coloring CONTRACT row: zero monochromatic edges AND the greedy
     palette bound (max color <= max undirected degree) — both checkable."""
@@ -1229,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_near_dup": q_ann_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "k1coloring": q_k1coloring,
         "k1coloring_valid": q_k1coloring_valid,
         "louvain": q_louvain,
@@ -2266,6 +2296,9 @@ SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_assigned,
     )
     sqls["ann_lsh_topk"] = (
         "SELECT CAST(1 AS BIGINT) AS has_results, TRUE AS recall_ge_090"
+    )
+    sqls["ann_ivf_topk"] = (
+        "SELECT CAST(1 AS BIGINT) AS has_results, TRUE AS recall_ge_080"
     )
     sqls["node2vec"] = f"""WITH {SQL_EDGES2}, {SQL_NODES2}
 SELECT CAST((SELECT COUNT(*) FROM nodes2) AS BIGINT) AS n_embedded,

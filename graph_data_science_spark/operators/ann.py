@@ -220,6 +220,94 @@ def knn_refine(
     return cur
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: Optional[list[int]] = None,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse k-means quantizer -> inverted lists keyed by the
+    nearest centroid; a query probes its `n_probe` nearest lists and exact
+    cosine re-ranks the candidates.  The second scale path next to LSH
+    (`lsh_ann_topk`): at 100 TB the inverted lists are a partitioned table
+    keyed by list id, the centroid set stays tiny (n_lists rows, broadcast
+    as literal column expressions), and a query touches n_probe/n_lists of
+    the data.  n_probe = n_lists degenerates to exact brute force.
+
+    Euclidean coarse quantizer (k-means geometry), cosine re-rank — the
+    standard IVF-Flat arrangement.
+    """
+    from graph_data_science_spark.operators.kmeans import KmeansConfig, kmeans
+
+    km = kmeans(
+        embeddings,
+        KmeansConfig(k=n_lists, max_iterations=kmeans_iters),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    centroids = km.centroids
+    lists = km.assignments.select(F.col("id").alias("_id"), F.col("cluster").alias("_list"))
+
+    base = (
+        embeddings.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .join(lists, "_id")
+    )
+
+    # probe ranking via a BROADCAST JOIN against the (tiny) centroid table —
+    # one zip_with expression total.  (A per-centroid literal expression
+    # array compiles O(n_lists * dim) generated code: measured 30x slower
+    # from Janino compilation alone at n_lists=16, dim=64, and impossible at
+    # a realistic n_lists=4096.)
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "_plist int, _c array<double>",
+    )
+    q = base if query_ids is None else base.where(
+        F.col("_id").isin([int(x) for x in query_ids])
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pw = Window.partitionBy("_id").orderBy(F.asc("_d2"), F.asc("_plist"))
+    q = (
+        q.drop("_list")
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(pw))
+        .where(F.col("_pr") <= min(n_probe, len(centroids)))
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_v").alias("qv"),
+            F.col("_n").alias("qn"),
+            F.col("_plist").alias("_list"),
+        )
+    )
+    cand = q.join(
+        base.select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("_v").alias("nv"),
+            F.col("_n").alias("nn"),
+            "_list",
+        ),
+        "_list",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
 def similarity_expr(metric: str, a, b):
     """Per-property similarity — the SimilarityComputer dispatch
     (algo/src/main/java/org/neo4j/gds/similarity/knn/SimilarityComputer.java

@@ -354,3 +354,34 @@ def test_yens_local_matches_distributed(spark):
     assert [(round(c, 9), p) for c, p in local] == [
         (round(c, 9), p) for c, p in dist
     ]
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """n_probe = n_lists probes every inverted list -> identical to exact."""
+    import numpy as np
+
+    from graph_data_science_spark.operators.ann import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-1, 1, size=(4, 8))
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(0, 0.05, 8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, list(range(60)), k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=3, n_lists=5, n_probe=5, kmeans_iters=4).collect()
+    }
+    assert full == exact
+
+    # partial probe on clustered data keeps high recall
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=3, n_lists=5, n_probe=2, kmeans_iters=4).collect()
+    }
+    assert len(part & exact) / len(exact) >= 0.8

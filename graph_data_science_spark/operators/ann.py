@@ -308,6 +308,9 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
 
 
+KNN_ALL_PAIRS_LIMIT = 16384
+
+
 def similarity_expr(metric: str, a, b):
     """Per-property similarity — the SimilarityComputer dispatch
     (algo/src/main/java/org/neo4j/gds/similarity/knn/SimilarityComputer.java
@@ -383,6 +386,17 @@ def knn_properties(
         if query_ids is not None:
             left = left.where(
                 F.col("query_id").isin([int(x) for x in query_ids])
+            )
+        elif df.count() > KNN_ALL_PAIRS_LIMIT:
+            # no query subset AND no candidate pairs = a full NxN cross join;
+            # refuse past the threshold (same guard discipline as
+            # betweenness.guard_all_sources — the default may not silently
+            # schedule a web-scale cartesian product)
+            raise ValueError(
+                f"knn_properties: all-pairs mode on >{KNN_ALL_PAIRS_LIMIT} "
+                "rows is a cartesian product. Pass query_ids= for a query "
+                "subset, or candidates= (from lsh_ann_topk / "
+                "dedup.lsh_candidate_pairs) for the bounded scale path."
             )
         pairs = F.broadcast(left).crossJoin(right)
     pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))

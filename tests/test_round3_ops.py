@@ -385,3 +385,16 @@ def test_ivf_topk_full_probe_equals_brute_force(spark):
         for r in ivf_topk(emb, k=3, n_lists=5, n_probe=2, kmeans_iters=4).collect()
     }
     assert len(part & exact) / len(exact) >= 0.8
+
+
+def test_knn_properties_all_pairs_guardrail(spark):
+    from graph_data_science_spark.operators.ann import (
+        KNN_ALL_PAIRS_LIMIT,
+        knn_properties,
+    )
+
+    big = spark.range(KNN_ALL_PAIRS_LIMIT + 5).select(
+        F.col("id"), F.array(F.col("id").cast("double")).alias("v")
+    )
+    with pytest.raises(ValueError, match="query_ids"):
+        knn_properties(big, {"v": "cosine"}, k=2)

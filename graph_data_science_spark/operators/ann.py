@@ -387,7 +387,11 @@ def knn_properties(
             left = left.where(
                 F.col("query_id").isin([int(x) for x in query_ids])
             )
-        elif df.count() > KNN_ALL_PAIRS_LIMIT:
+        elif df.limit(KNN_ALL_PAIRS_LIMIT + 1).count() > KNN_ALL_PAIRS_LIMIT:
+            # guard probe is bounded: limit(N+1).count() stops scanning once
+            # N+1 rows are found (CollectLimit grows partition batches
+            # incrementally), so a 100-TB table pays a few-partition peek,
+            # not a full count, before being refused
             # no query subset AND no candidate pairs = a full NxN cross join;
             # refuse past the threshold (same guard discipline as
             # betweenness.guard_all_sources — the default may not silently

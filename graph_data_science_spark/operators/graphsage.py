@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from graph_data_science_spark.operators.graph import LinkGraph
+from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
 
 
 @dataclass
@@ -484,11 +485,17 @@ def graphsage_train(
         embedding_dimension=cfg.embedding_dimension,
         seed=cfg.seed,
     )
-    # final distributed pass reuses the cached per-layer adjacencies; the
-    # returned embeddings are materialized lazily by the caller, so keep the
-    # caches alive until the session drops them (they are sample-bounded)
+    # final distributed pass reuses the cached per-layer adjacencies, then the
+    # result is materialized to parquet (lineage + stats truncation) so EVERY
+    # cache this function created can be released before returning — repeated
+    # training calls in a long session must not accumulate executor storage
     emb = graphsage_embeddings(graph, feats, model, _adjs=adjs)
+    ckpt = SuperstepCheckpointer(spark, None)
+    emb = ckpt.checkpoint(emb, 0, name="graphsage_emb")
     roots.unpersist()
+    feats.unpersist()
+    for a in adjs:
+        a.unpersist()
     return GraphSageResult(model=model, embeddings=emb, epoch_losses=epoch_losses)
 
 

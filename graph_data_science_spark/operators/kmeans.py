@@ -63,12 +63,37 @@ def kmeans(
     centroids = [list(r["v"]) for r in init_rows]
     k_eff = len(centroids)
 
-    def dist2(centroid: list):
-        arr = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.aggregate(
-            F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    def assign_step(cents: list[list[float]]) -> DataFrame:
+        """Nearest-centroid assignment with O(1) generated code in k.
+
+        Inlining one literal-array expression per centroid blows Janino
+        codegen up O(k*dim) per iteration (measured 30x at k=16, impossible
+        at a realistic IVF n_lists=4096 — see ann.py's coarse quantizer).
+        Instead the centroids travel as DATA: a broadcast 1-row table holding
+        array<struct<cluster,c>>, crossJoined in (stays in the base row's
+        partition — no shuffle), argmin via array_min over a transform
+        (lexicographic struct order = min d2, ties -> lower cluster, the same
+        rule as the reference's sequential scan Kmeans.java:findNearest).
+        """
+        cent_df = spark.createDataFrame(
+            [(j, [float(x) for x in c]) for j, c in enumerate(cents)],
+            "cluster int, c array<double>",
+        ).agg(F.collect_list(F.struct("cluster", "c")).alias("_cents"))
+        scored = base.crossJoin(F.broadcast(cent_df))
+        ds = F.transform(
+            "_cents",
+            lambda cen: F.struct(
+                F.aggregate(
+                    F.zip_with("v", cen["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                cen["cluster"].alias("cluster"),
+            ),
+        )
+        best = F.array_min(ds)
+        return scored.select(
+            "id", "v", best["cluster"].alias("cluster"), best["d2"].alias("d2")
         )
 
     assign = None
@@ -77,18 +102,7 @@ def kmeans(
     from pyspark.sql import Observation
 
     for t in range(1, cfg.max_iterations + 1):
-        # argmin over k broadcast centroid expressions (ties -> lower cluster)
-        d_cols = [dist2(c).alias(f"d{j}") for j, c in enumerate(centroids)]
-        scored = base.select("id", "v", *d_cols)
-        best = F.lit(0)
-        best_d = F.col("d0")
-        for j in range(1, k_eff):
-            is_better = F.col(f"d{j}") < best_d
-            best = F.when(is_better, F.lit(j)).otherwise(best)
-            best_d = F.when(is_better, F.col(f"d{j}")).otherwise(best_d)
-        new_assign = scored.select(
-            "id", "v", best.alias("cluster"), best_d.alias("d2")
-        )
+        new_assign = assign_step(centroids)
         # change-count rides the checkpoint write (observe) — one extra join
         # against the previous assignment, zero extra jobs
         if assign is not None:

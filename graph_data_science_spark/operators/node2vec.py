@@ -165,24 +165,23 @@ def biased_random_walks(
             .otherwise(F.lit(inv_q))
         )
         cand = cand.withColumn("_w", w)
-        # cumulative-weight selection: r*W falls in exactly one [cum-w, cum)
-        # interval (intervals tile exactly: next row's cum-w IS this row's cum)
+        # cumulative-weight selection, gap-free one-sided rule: pick the FIRST
+        # candidate (min i) with r*total < cum.  Under FP addition cum_i - w_i
+        # need not equal cum_{i-1}, so a two-sided [cum-w, cum) test can leave
+        # r*total in a rounding gap and silently kill a live walker; the
+        # one-sided rule always matches exactly the inverse-CDF row because
+        # _cum is nondecreasing and r in [0,1) guarantees r*max(_cum) <
+        # max(_cum) (total = max of the cumulative sum, NOT an independent
+        # sum(_w) whose last-ulp difference could exceed every _cum).
         ww = Window.partitionBy("walk_id").orderBy("i")
         wa = Window.partitionBy("walk_id")
         r = _rnd6(F.col("walk_id"), F.lit(step), F.lit(cfg.seed))
         sel = (
             cand.withColumn("_cum", F.sum("_w").over(ww))
-            # total = max of the cumulative sum (NOT an independent sum(_w),
-            # whose last-ulp difference could push r*total past every
-            # interval): r in [0,1) guarantees r*max(_cum) < max(_cum), so
-            # exactly one [cum-w, cum) interval matches
             .withColumn("_tot", F.max("_cum").over(wa))
-            .where(
-                (F.col("_cum") - F.col("_w") <= r * F.col("_tot"))
-                & (r * F.col("_tot") < F.col("_cum"))
-            )
+            .where(r * F.col("_tot") < F.col("_cum"))
             .groupBy("walk_id")
-            .agg(F.min("x").alias("_pick"))
+            .agg(F.min_by("x", "i").alias("_pick"))
         )
         nxt = walks.join(sel, "walk_id", "left")
         pick = F.when(F.col("done"), F.lit(None).cast("long")).otherwise(F.col("_pick"))

@@ -107,7 +107,21 @@ def article_rank(graph: LinkGraph, cfg: PageRankConfig | None = None) -> Central
 
 def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> CentralityResult:
     spark = graph.nodes.sparkSession
-    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    fp = None
+    if cfg.checkpoint_path is not None:
+        from graph_data_science_spark.plans.checkpoint import graph_fingerprint
+
+        fp = graph_fingerprint(
+            graph.nodes,
+            graph.edges,
+            algorithm=denominator,
+            damping=cfg.damping_factor,
+            tolerance=cfg.tolerance,
+            source_nodes=cfg.source_nodes,
+            weighted=cfg.weighted,
+            orientation=str(cfg.orientation),
+        )
+    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path, fingerprint=fp)
     alpha = 1.0 - cfg.damping_factor
     d = cfg.damping_factor
 

@@ -56,7 +56,18 @@ class WccResult:
 def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
     cfg = cfg or WccConfig()
     spark = graph.nodes.sparkSession
-    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    fp = None
+    if cfg.checkpoint_path is not None:
+        from graph_data_science_spark.plans.checkpoint import graph_fingerprint
+
+        fp = graph_fingerprint(
+            graph.nodes,
+            graph.edges,
+            algorithm="wcc",
+            threshold=cfg.threshold,
+            seed_property=cfg.seed_property,
+        )
+    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path, fingerprint=fp)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     from graph_data_science_spark.plans.estimate import cost_report

@@ -51,10 +51,22 @@ class SuperstepCheckpointer:
     # streams — e.g. Louvain's per-level state / assignment / coarse edges)
     EPHEMERAL_KEEP = 3
 
-    def __init__(self, spark: SparkSession, path: str | None = None, run_id: str = "run"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | None = None,
+        run_id: str = "run",
+        fingerprint: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.run_id = run_id
+        # identity stamp of (graph, config) for durable resume: committed
+        # manifests carry it, and latest_superstep() ignores supersteps whose
+        # stamp differs — rerunning an algorithm on an UPDATED graph (the
+        # seeded/incremental use case) with a reused checkpoint path must not
+        # silently resume stale state that is missing the new nodes.
+        self.fingerprint = fingerprint
         self._metrics: list[dict[str, Any]] = []
         self._ephemeral = path is None
         if self._ephemeral:
@@ -112,6 +124,7 @@ class SuperstepCheckpointer:
                     "parts": parts,
                     "rows_per_part": lineage,
                     "total_rows": sum(lineage.values()) if lineage else None,
+                    "fingerprint": self.fingerprint,
                 },
                 fh,
             )
@@ -134,8 +147,21 @@ class SuperstepCheckpointer:
             # part files alone are NOT trusted (_SUCCESS markers are disabled
             # in session.py, and the v2 committer renames task-side, so a
             # mid-write crash leaves partial part files visible)
-            if os.path.exists(os.path.join(full, "_COMMITTED")):
-                steps.append(int(d.split("=")[1]))
+            manifest = os.path.join(full, "_COMMITTED")
+            if not os.path.exists(manifest):
+                continue
+            if self.fingerprint is not None:
+                # (graph, config) identity check: ignore state committed by a
+                # run with a different stamp (or by a pre-stamp run) — a
+                # mismatched resume would drop new nodes / apply old config.
+                try:
+                    with open(manifest) as fh:
+                        stamp = json.load(fh).get("fingerprint")
+                except Exception:
+                    continue
+                if stamp != self.fingerprint:
+                    continue
+            steps.append(int(d.split("=")[1]))
         return max(steps) if steps else None
 
     def load(self, superstep: int, name: str = "state") -> DataFrame:
@@ -162,3 +188,31 @@ class SuperstepCheckpointer:
     @property
     def metrics(self) -> list[dict[str, Any]]:
         return list(self._metrics)
+
+
+def graph_fingerprint(nodes: DataFrame, edges: DataFrame, **config: Any) -> str:
+    """Identity stamp of (graph content, algorithm config) for durable resume.
+
+    One aggregate job per table: row count + an order-independent content hash
+    (bit_xor of per-row xxhash64 over the id/src/dst columns — xor never
+    overflows under ANSI mode, unlike sum).  Catching "same counts, different
+    edges" matters for the incremental/seeded use case; a full-column hash
+    would be strictly stronger but costs a full-width scan — keys are the part
+    that changes when a graph is updated.  Config kwargs are folded in
+    verbatim so a tolerance/threshold change also invalidates resume.  Only
+    called when a durable checkpoint_path is configured.
+    """
+    import hashlib
+
+    n = nodes.agg(
+        F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("id")).alias("h")
+    ).first()
+    e = edges.agg(
+        F.count(F.lit(1)).alias("c"), F.bit_xor(F.xxhash64("src", "dst")).alias("h")
+    ).first()
+    payload = json.dumps(
+        {"n": [n["c"], n["h"]], "e": [e["c"], e["h"]], "cfg": config},
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()

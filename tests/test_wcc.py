@@ -118,3 +118,33 @@ def test_wcc_resume_from_durable_checkpoint(spark, tmp_path):
     assert res.did_converge
     got = {r["id"]: r["comp"] for r in res.components.collect()}
     assert got == gold_m
+
+
+def test_wcc_resume_ignores_stale_checkpoint_of_different_graph(spark, tmp_path):
+    """Reusing a checkpoint path after the graph changed (the incremental
+    use case) must NOT resume the old run's state: the committed manifests
+    carry a (graph, config) fingerprint and latest_superstep() skips
+    mismatches, so the new nodes get correct components."""
+    from graph_data_science_spark.operators.wcc import WccConfig, wcc
+
+    ck = str(tmp_path / "wcc_ck")
+    g1 = LinkGraph.from_edges(spark, [(i, i + 1) for i in range(30)])
+    partial = wcc(g1, WccConfig(max_rounds=2, checkpoint_path=ck))
+    assert not partial.did_converge
+
+    # updated graph: one extra node bridging two ends + a brand-new chain
+    g2 = LinkGraph.from_edges(
+        spark, [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102)]
+    )
+    res = wcc(g2, WccConfig(checkpoint_path=ck))
+    assert not any("resumed_from" in m for m in res.metrics)
+    got = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert got[100] == got[101] == got[102]
+    assert len({got[i] for i in range(31)}) == 1
+
+    # same graph + same config -> the fingerprint matches and resume works
+    # (the path already holds the full run's committed supersteps, so the
+    # rerun resumes from the LATEST matching superstep, whatever it is)
+    res2 = wcc(g2, WccConfig(checkpoint_path=ck))
+    assert any("resumed_from" in m for m in res2.metrics)
+    assert {r["id"]: r["comp"] for r in res2.components.collect()} == got

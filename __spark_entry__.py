@@ -630,6 +630,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode distributed end-to-end (operators/codecs.py decode_png:
+    stdlib zlib inflate + numpy unfilter; no image libraries): 40 synthetic
+    gradient PNGs, one per filter type i%5, decoded + featurized via Arrow
+    mapInPandas.  Features are scaled back to pixel units so the oracle is an
+    exact closed form: mean_c = base_c + (size-1), std = stddev_pop(x+y)."""
+    from graph_data_science_spark.operators.multimodal import (
+        extract_features,
+        synth_png_media,
+    )
+
+    media = synth_png_media(spark, n=40, size=16)
+    feats = extract_features(media, dim=8, fake=False)
+    px = lambda i: F.round(F.element_at("feature", i).cast("double") * 255.0, 3)
+    return feats.select(
+        "media_id",
+        "mime",
+        px(1).alias("mean_r"),
+        px(2).alias("mean_g"),
+        px(3).alias("mean_b"),
+        px(4).alias("std_px"),
+    )
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality from sampled sources (id % 50 == 0)."""
     _tune(spark)
@@ -1268,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop": q_labelprop,
         "louvain": q_louvain,
         "multimodal_features": q_multimodal_features,
+        "multimodal_png": q_multimodal_png,
         "pregel_reach": q_pregel_reach,
         "random_walks": q_random_walks,
         # -- stable-core rotation (triple-green) ---------------------------
@@ -1286,8 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "language_id": q_language_id,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "scalers": q_scalers,
         # -- parked triple-green (past the driver's 50-row window) ---------
+        "scalers": q_scalers,
         "degree_out": q_degree_out,
         "degree_in_weighted": q_degree_in_weighted,
         "pagerank_weighted": q_pagerank_weighted,
@@ -2429,6 +2454,26 @@ FROM wnodes n LEFT JOIN (SELECT id, lbl FROM top WHERE rn = 1) t ON t.id = n.id"
     sqls["shortest_path"] = SQL_SHORTEST_PATH
     sqls["scc"] = SQL_SCC
     sqls["multimodal_features"] = SQL_MULTIMODAL
+
+    # real-PNG decode oracle: synth_png_media's pixel law is
+    # pixel(y,x,c) = base_c + x + y (no wraparound), so exact channel means
+    # and the population std are closed forms over a generated 16x16 grid —
+    # independent of the Python codec under test
+    sqls["multimodal_png"] = """WITH grid AS (
+  SELECT (a.x + b.y)::DOUBLE AS v FROM range(16) a(x), range(16) b(y)
+),
+s AS (SELECT ROUND(STDDEV_POP(v), 3) AS sd FROM grid),
+m AS (
+  SELECT i AS media_id,
+         (i * 37) % 170 + 15.0 AS mr,
+         (i * 59) % 170 + 15.0 AS mg,
+         (i * 83) % 170 + 15.0 AS mb
+  FROM range(40) t(i)
+)
+SELECT media_id, 'image/png' AS mime,
+       ROUND(mr, 3) AS mean_r, ROUND(mg, 3) AS mean_g, ROUND(mb, 3) AS mean_b,
+       (SELECT sd FROM s) AS std_px
+FROM m"""
 
     sql_msbfs = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
 roots AS (SELECT id FROM nodes WHERE id % 50 = 0),

@@ -18,7 +18,7 @@ import struct
 
 import numpy as np
 
-DECODABLE_IMAGE_MIMES = {"image/x-portable-pixmap", "image/bmp"}
+DECODABLE_IMAGE_MIMES = {"image/x-portable-pixmap", "image/bmp", "image/png"}
 DECODABLE_AUDIO_MIMES = {"audio/wav", "audio/x-wav"}
 
 
@@ -101,6 +101,188 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + data
 
 
+# -- PNG (stdlib zlib + numpy unfilter; no image libraries) -------------------
+#
+# PNG's "entropy coding" is just DEFLATE, which the Python stdlib ships, so —
+# unlike JPEG/MP4 — real web-corpus PNGs ARE decodable here: parse IHDR/PLTE/
+# IDAT chunks, zlib-decompress the filtered scanlines, invert the per-row
+# filter (None/Sub/Up/Average/Paeth, RFC 2083 §6), and expand gray/palette/
+# alpha to (h, w, 3) uint8.  8-bit depth, non-interlaced (Adam7 raises —
+# interlaced PNGs are <1% of real corpora and say so in the error).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by color type: 0 gray, 2 rgb, 3 palette idx, 4 gray+a, 6 rgba
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    i = 8
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        yield ctype, payload[i + 8 : i + 8 + size]
+        i += 12 + size  # len + type + body + crc
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int16 vectors (a=left, b=up, c=up-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Invert per-scanline filtering.  raw = h rows of (1 filter byte +
+    rowbytes).  None/Up are whole-row vector ops; Sub is a wrapping
+    add-accumulate over the byte lanes; Average/Paeth carry a true
+    left-pixel dependency, so they run one bpp-wide vector op per pixel
+    column (the only loops are over rows and, for those two filters,
+    pixel columns — never over individual bytes)."""
+    raw = raw.reshape(h, 1 + rowbytes)
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    prior = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        row = raw[y, 1:]
+        if ftype == 0:  # None
+            rec = row.copy()
+        elif ftype == 1:  # Sub: rec[x] = row[x] + rec[x-bpp]  (mod 256)
+            rec = np.add.accumulate(
+                row.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = row + prior  # uint8 wraps
+        elif ftype == 3:  # Average
+            rec = np.empty(rowbytes, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int16)
+            p16 = prior.astype(np.int16)
+            for x in range(0, rowbytes, bpp):
+                left = (
+                    row[x : x + bpp] + ((left + p16[x : x + bpp]) >> 1)
+                ).astype(np.uint8)
+                rec[x : x + bpp] = left
+                left = left.astype(np.int16)
+        elif ftype == 4:  # Paeth
+            rec = np.empty(rowbytes, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
+            p16 = prior.astype(np.int16)
+            for x in range(0, rowbytes, bpp):
+                up = p16[x : x + bpp]
+                left = (row[x : x + bpp] + _paeth(left, up, ul)).astype(np.uint8)
+                rec[x : x + bpp] = left
+                left, ul = left.astype(np.int16), up
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """binary PNG -> (h, w, 3) uint8 (alpha dropped, palette/gray expanded)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    import zlib
+
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_, compression, flt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if compression != 0 or flt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if ctype_ not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype_}")
+    ch = _PNG_CHANNELS[ctype_]
+    rowbytes = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + rowbytes):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, rowbytes, ch).reshape(h, w, ch)
+    if ctype_ == 2:  # RGB
+        return px.copy()
+    if ctype_ == 6:  # RGBA -> drop alpha
+        return px[:, :, :3].copy()
+    if ctype_ == 0:  # gray
+        return np.repeat(px, 3, axis=2)
+    if ctype_ == 4:  # gray+alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    return plte[px[:, :, 0]]
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> PNG.  filter_type applies the spec's FORWARD filter
+    (0..4) to every scanline before DEFLATE — exercised by tests so the
+    decoder's unfilter path for each type is verified against an
+    independently-implemented inverse, not itself."""
+    import zlib
+
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3)")
+    arr = arr.astype(np.uint8)
+    bpp = 3
+    rows = arr.reshape(h, w * 3).astype(np.int16)
+    out = bytearray()
+    prior = np.zeros(w * 3, dtype=np.int16)
+    for y in range(h):
+        cur = rows[y]
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prior
+        elif filter_type == 3:
+            filt = cur - ((left + prior) >> 1)
+        elif filter_type == 4:
+            ul = np.zeros_like(prior)
+            ul[bpp:] = prior[:-bpp]
+            filt = cur - _paeth(left, prior, ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        out.append(filter_type)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 # -- WAV (PCM) ---------------------------------------------------------------
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -159,9 +341,12 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        f"mime={mime!r}: only PPM(P6)/uncompressed-BMP decodable without an "
-        "image library (JPEG/PNG need an entropy decoder — plug PIL in here)"
+        f"mime={mime!r}: only PPM(P6)/uncompressed-BMP/PNG decodable without "
+        "an image library (JPEG needs a huffman+IDCT decoder — plug PIL in "
+        "here)"
     )
 
 

@@ -88,6 +88,31 @@ def synth_decodable_media(spark, n: int = 30, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_png_media(spark, n: int = 40, size: int = 16, seed: int = 42) -> DataFrame:
+    """Media table of REAL zlib-compressed PNGs with analytically known pixel
+    statistics: pixel(y, x, c) = base_c + x + y with base_c = f(media_id) and
+    base_c + 2*(size-1) < 256 (no wraparound), so channel c's exact mean is
+    base_c + (size-1) and every channel's population std is
+    stddev_pop(x + y over the grid) — both SQL-computable, which is what lets
+    the real distributed decode path get a full value-hash oracle.  Row i is
+    encoded with PNG filter type i % 5, covering all five unfilter kernels
+    (None/Sub/Up/Average/Paeth) inside one query."""
+    import numpy as np
+
+    from graph_data_science_spark.operators import codecs
+
+    y, x = np.mgrid[0:size, 0:size]
+    g = (x + y).astype(np.uint8)
+    rows = []
+    for i in range(n):
+        bases = [(i * 37) % 170, (i * 59) % 170, (i * 83) % 170]
+        img = np.stack([g + b for b in bases], axis=2).astype(np.uint8)
+        rows.append(
+            (i, bytearray(codecs.encode_png(img, filter_type=i % 5)), "image/png", size, size)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fake_feature(payload: bytes, dim: int) -> list:
     """Deterministic feature vector from payload bytes (stands in for a real
     encoder; stable across partitionings)."""

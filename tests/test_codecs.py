@@ -80,3 +80,101 @@ def test_resize_real_repaints_payload(spark):
     img = codecs.decode_image(bytes(out["payload"]))
     assert img.shape == (6, 8, 3)
     assert out["width"] == 8 and out["height"] == 6
+
+
+# -- PNG (stdlib zlib + numpy unfilter) ---------------------------------------
+
+def test_png_roundtrip_every_filter_type():
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1, 3), (5, 9, 3), (17, 23, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for ft in range(5):
+            got = codecs.decode_png(codecs.encode_png(img, filter_type=ft))
+            assert got.shape == img.shape and (got == img).all(), (shape, ft)
+
+
+def test_png_gradient_stresses_predictors():
+    # smooth gradients are where Sub/Up/Average/Paeth predictors actually
+    # predict (residuals near 0) — a decoder bug shifts values visibly
+    y, x = np.mgrid[0:32, 0:40]
+    img = np.stack([(y * 3) % 256, (x * 5) % 256, (x + y) % 256], axis=2).astype(np.uint8)
+    for ft in range(5):
+        assert (codecs.decode_png(codecs.encode_png(img, ft)) == img).all(), ft
+
+
+def _png_fixture(w, h, color_type, raw_rows, extra=b""):
+    import struct, zlib
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return sig + chunk(b"IHDR", ihdr) + extra + chunk(b"IDAT", zlib.compress(raw_rows)) + chunk(b"IEND", b"")
+
+
+def test_png_grayscale_rgba_palette_expand_to_rgb():
+    import struct, zlib
+
+    g = np.array([[10, 20, 30], [200, 100, 0]], dtype=np.uint8)
+    png = _png_fixture(3, 2, 0, b"".join(b"\x00" + g[r].tobytes() for r in range(2)))
+    out = codecs.decode_png(png)
+    assert out.shape == (2, 3, 3) and (out[:, :, 0] == g).all() and (out[:, :, 2] == g).all()
+
+    rgba = np.random.RandomState(3).randint(0, 256, (2, 2, 4)).astype(np.uint8)
+    png = _png_fixture(2, 2, 6, b"".join(b"\x00" + rgba[r].tobytes() for r in range(2)))
+    assert (codecs.decode_png(png) == rgba[:, :, :3]).all()
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8)
+    idx = np.array([[0, 3, 1, 2]], dtype=np.uint8)
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    png = _png_fixture(4, 1, 3, b"\x00" + idx.tobytes(), extra=chunk(b"PLTE", pal.tobytes()))
+    assert (codecs.decode_png(png) == pal[idx[0]][None]).all()
+
+
+def test_png_honest_boundaries():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = bytearray(codecs.encode_png(img))
+    # bit depth 16 -> NotImplementedError, interlace -> NotImplementedError
+    import struct, zlib
+
+    def fixture(depth=8, interlace=0):
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+        raw = zlib.compress(b"\x00" * (2 * (1 + 6)))
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+
+    with pytest.raises(NotImplementedError, match="depth"):
+        codecs.decode_png(fixture(depth=16))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        codecs.decode_png(fixture(interlace=1))
+    with pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"BM123456")
+
+
+def test_png_decode_image_dispatch_and_distributed_decode(spark):
+    from graph_data_science_spark.operators.multimodal import synth_png_media
+
+    img = np.random.RandomState(1).randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    assert (codecs.decode_image(codecs.encode_png(img, 4)) == img).all()
+
+    media = synth_png_media(spark, n=10, size=16)
+    out = extract_features(media, dim=8, fake=False).collect()
+    assert len(out) == 10
+    for r in out:
+        i = r["media_id"]
+        # pixel law: mean of channel 0 = (i*37)%170 + 15, scaled by 1/255
+        assert abs(r["feature"][0] * 255.0 - ((i * 37) % 170 + 15)) < 1e-3, i

@@ -40,16 +40,29 @@ def _norm(v):
 
 def cosine_topk(
     embeddings: DataFrame,
-    query_ids: list[int],
+    query_ids: "list[int] | DataFrame | None" = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """query_id, neighbor_id, cosine — exact top-k by brute force."""
+    """query_id, neighbor_id, cosine — exact top-k by brute force.
+
+    query_ids may be a Python list (small, inlined as an IN filter), a
+    single-column DataFrame of ids (semi-joined — the scale path: no
+    driver-side collect of the query set), or None for all-vs-all (every
+    row queries; the broadcast side is then the full table, so this is
+    only for oracle-sized inputs)."""
     base = embeddings.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
     ).withColumn("_n", _norm(F.col("_v")))
-    q = base.where(F.col("_id").isin([int(x) for x in query_ids])).select(
+    if query_ids is None:
+        qside = base
+    elif isinstance(query_ids, DataFrame):
+        ids = query_ids.select(F.col(query_ids.columns[0]).alias("_id"))
+        qside = base.join(ids, "_id", "left_semi")
+    else:
+        qside = base.where(F.col("_id").isin([int(x) for x in query_ids]))
+    q = qside.select(
         F.col("_id").alias("query_id"), F.col("_v").alias("qv"), F.col("_n").alias("qn")
     )
     pairs = F.broadcast(q).crossJoin(

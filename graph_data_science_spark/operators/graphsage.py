@@ -63,6 +63,17 @@ class GraphSageConfig:
     max_train_nodes: int = 1024
     seed: int = 42
     tolerance: float = 1e-4
+    # "local": collect the (sample-bounded) train closure once, minibatch
+    #          Adam in numpy — fastest when the closure fits the driver.
+    # "distributed": every forward/backward stays in DataFrames; the only
+    #          driver traffic per step is the d_out x d_in gradient matrices
+    #          (pandas_udf partial outer-product sums) — the 100-TB path.
+    # "auto":  local while closure_nodes * feature_dim is driver-feasible,
+    #          else distributed.
+    train_mode: str = "auto"
+    # auto threshold: closure cells (nodes x feature dim) above which the
+    # localized path would funnel tens of MB through the driver per step
+    local_closure_cells: int = 2_000_000
 
 
 @dataclass
@@ -346,6 +357,186 @@ def _local_backward(H, Ms, layer_csr, Ws, activation, dZ):
     return grads
 
 
+# --------------------------------------------------------------------------
+# distributed gradient step (no closure collect; the 100-TB training path)
+# --------------------------------------------------------------------------
+
+def _vecsum_by_id(df: DataFrame, dim: int, vec_col: str = "g") -> DataFrame:
+    """(id, vec) rows -> one row per id with the elementwise sum."""
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    return df.groupBy("id").agg(
+        F.aggregate(
+            F.collect_list(vec_col),
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias(vec_col)
+    )
+
+
+def _scale_rows(df: DataFrame, vec_col: str, factor) -> DataFrame:
+    return df.withColumn(vec_col, F.transform(vec_col, lambda x: x * factor))
+
+
+def _matmul_plain(df: DataFrame, W: np.ndarray, in_col: str, out_col: str) -> DataFrame:
+    """(id, v) -> (id, v @ W.T) — pandas_udf BLAS, no activation."""
+    Wc = np.asarray(W, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _mm(col: pd.Series) -> pd.Series:
+        M = np.array(col.tolist(), dtype=np.float64)
+        return pd.Series((M @ Wc.T).tolist())
+
+    return df.select("id", _mm(F.col(in_col)).alias(out_col))
+
+
+def _partial_outer_sum(dpre: DataFrame, M: DataFrame, d_out: int, d_in: int) -> np.ndarray:
+    """grad = sum_i outer(dpre_i, m_i) = dpre.T @ M, computed as one
+    flattened (d_out*d_in) partial per Arrow batch via mapInPandas; the
+    driver receives and sums only those partials — never node vectors.
+    This is the ONLY collect in the distributed gradient step."""
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            G = np.array(pdf["g"].tolist(), dtype=np.float64)
+            Mm = np.array(pdf["m"].tolist(), dtype=np.float64)
+            yield pd.DataFrame({"pg": [(G.T @ Mm).ravel().tolist()]})
+
+    rows = (
+        dpre.join(M, "id")
+        .select("id", "g", "m")
+        .mapInPandas(run, "pg array<double>")
+        .collect()
+    )
+    out = np.zeros((d_out, d_in))
+    for r in rows:
+        out += np.asarray(r["pg"], dtype=np.float64).reshape(d_out, d_in)
+    return out
+
+
+def _distributed_grad_step(
+    feats: DataFrame,
+    adjs: List[DataFrame],
+    cnts: List[DataFrame],
+    Ws: List[np.ndarray],
+    activation: str,
+    batch_df: DataFrame,
+    Q: float,
+    f_dim: int,
+):
+    """One exact gradient evaluation with every node-wide tensor distributed.
+
+    Mirrors _local_forward/_local_backward term for term: forward mean-
+    aggregate layers (cached per step — weights change each step), the
+    unsupervised triple loss on batch_df(v, p, n), dZ scatter, and backprop
+    through each layer.  Gradients reaching the driver are K matrices of
+    d_out x d_in — independent of graph, batch, and feature-table size.
+    Nodes with zero gradient simply have no row in G (sparse representation),
+    so compute is bounded by the batch's K-hop influence set, not the graph.
+    """
+    spark = feats.sparkSession
+    # ---- forward (cache every layer: used by loss AND backward) ----------
+    H = [feats.select("id", F.col("features").alias("h"))]
+    Ms = []
+    cached = []
+    dim = f_dim
+    for W, adj in zip(Ws, adjs):
+        m = _mean_with_self(H[-1], adj, dim).cache()
+        h = _matmul_act(m, W, activation).cache()
+        cached += [m, h]
+        Ms.append(m.withColumnRenamed("m", "m"))
+        H.append(h)
+        dim = W.shape[0]
+
+    # ---- loss + dZ over the batch triples --------------------------------
+    Z = H[-1]
+    j = (
+        batch_df.join(Z.select(F.col("id").alias("v"), F.col("h").alias("zv")), "v")
+        .join(Z.select(F.col("id").alias("p"), F.col("h").alias("zp")), "p")
+        .join(Z.select(F.col("id").alias("n"), F.col("h").alias("zn")), "n")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = j.select(
+        "v",
+        "p",
+        "n",
+        "zv",
+        "zp",
+        "zn",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-dot(F.col("zv"), F.col("zp"))))).alias("sig_p"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-dot(F.col("zv"), F.col("zn"))))).alias("sig_n"),
+    ).cache()
+    cached.append(scored)
+    row = scored.agg(
+        F.sum(-F.log(F.greatest(F.col("sig_p"), F.lit(1e-12)))).alias("lp"),
+        F.sum(-F.log(F.greatest(F.lit(1.0) - F.col("sig_n"), F.lit(1e-12)))).alias("ln"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    loss = float(row["lp"] or 0.0) + Q * float(row["ln"] or 0.0)
+    n_scored = int(row["n"])
+
+    cp = -(F.lit(1.0) - F.col("sig_p"))
+    cn = F.lit(Q) * F.col("sig_n")
+    contrib = (
+        scored.select(
+            F.col("v").alias("id"),
+            F.zip_with("zp", "zn", lambda a, b: cp * a + cn * b).alias("g"),
+        )
+        .unionByName(
+            scored.select(
+                F.col("p").alias("id"), F.transform("zv", lambda x: cp * x).alias("g")
+            )
+        )
+        .unionByName(
+            scored.select(
+                F.col("n").alias("id"), F.transform("zv", lambda x: cn * x).alias("g")
+            )
+        )
+    )
+    d_out = Ws[-1].shape[0]
+    G = _vecsum_by_id(contrib, d_out)
+
+    # ---- backward through the mean-aggregate layers -----------------------
+    grads: List[np.ndarray] = [None] * len(Ws)
+    for k in range(len(Ws) - 1, -1, -1):
+        hk = H[k + 1]
+        gj = G.join(hk, "id")
+        if activation == "sigmoid":
+            dpre_col = F.zip_with("g", "h", lambda g, h: g * h * (F.lit(1.0) - h))
+        else:  # relu
+            dpre_col = F.zip_with(
+                "g", "h", lambda g, h: F.when(h > 0, g).otherwise(F.lit(0.0))
+            )
+        dpre = gj.select("id", dpre_col.alias("g")).cache()
+        cached.append(dpre)
+        d_o, d_i = Ws[k].shape
+        grads[k] = _partial_outer_sum(dpre, Ms[k], d_o, d_i)
+        if k > 0:
+            # G_{k-1}(id) = dM(id)/cnt(id)  [self term]
+            #            + sum over sampled edges (src -> id): dM(src)/cnt(src)
+            # where dM = dpre @ W_k and cnt = 1 + sampled out-degree — the
+            # exact adjoint of _mean_with_self
+            dM = _matmul_plain(dpre, Ws[k].T, "g", "g")  # computes dpre @ W_k
+            dm_scaled = dM.join(cnts[k], "id", "left").select(
+                "id",
+                F.transform(
+                    "g", lambda x: x / F.coalesce(F.col("cnt"), F.lit(1.0))
+                ).alias("g"),
+            )
+            nbr = (
+                adjs[k]
+                .join(dm_scaled.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "g")
+            )
+            G = _vecsum_by_id(dm_scaled.unionByName(nbr), d_i)
+    for c in cached:
+        c.unpersist()
+    return loss, n_scored, grads
+
+
 def graphsage_train(
     graph: LinkGraph,
     features: DataFrame,
@@ -410,15 +601,62 @@ def graphsage_train(
     neg_map = {
         ordered[i]: ordered[(i + max(1, n_r // 2)) % n_r] for i in range(n_r)
     }
-    pairs = [
+    pairs = sorted(
         (r["v"], r["p"], neg_map.get(r["v"], ordered[0] if ordered else 0))
         for r in pos.collect()
-    ]
+    )  # collect() order is partition-scheduling-defined; sorted batches make
+    # training reproducible and mode-independent (local == distributed)
     epoch_losses: List[float] = []
-    if pairs:
+    involved = sorted({x for t in pairs for x in t})
+    mode = cfg.train_mode
+    if mode == "auto":
+        # closure grows by at most prod(sample_sizes+1); local only while the
+        # whole closure's feature matrix is comfortably driver-sized
+        bound = len(involved)
+        for s_k in cfg.sample_sizes:
+            bound *= s_k + 1
+        mode = "local" if bound * f_dim <= cfg.local_closure_cells else "distributed"
+    if pairs and mode == "distributed":
+        # every tensor stays a DataFrame; the driver sees only loss scalars
+        # and K gradient matrices per step (see _distributed_grad_step)
+        cnts = [
+            adj.groupBy("src")
+            .agg((F.count(F.lit(1)) + 1).cast("double").alias("cnt"))
+            .withColumnRenamed("src", "id")
+            .cache()
+            for adj in adjs
+        ]
+        feats_d = feats.select(
+            "id", F.col("features").cast("array<double>").alias("features")
+        )
+        opt = _Adam([W.shape for W in Ws], cfg.learning_rate)
+        n_b = max(1, (len(pairs) + cfg.batch_size - 1) // cfg.batch_size)
+        prev_loss = None
+        for epoch in range(cfg.epochs):
+            total, cnt_seen = 0.0, 0
+            for b in range(n_b):
+                batch = pairs[b::n_b]
+                if not batch:
+                    continue
+                batch_df = spark.createDataFrame(batch, "v long, p long, n long")
+                for _ in range(cfg.max_iterations):
+                    loss, n_scored, grads = _distributed_grad_step(
+                        feats_d, adjs, cnts, Ws, cfg.activation,
+                        batch_df, cfg.negative_sample_weight, f_dim,
+                    )
+                    opt.step(Ws, grads)
+                total += loss
+                cnt_seen += n_scored
+            avg = total / max(cnt_seen, 1)
+            epoch_losses.append(avg)
+            if prev_loss is not None and abs(prev_loss - avg) < cfg.tolerance:
+                break
+            prev_loss = avg
+        for c in cnts:
+            c.unpersist()
+    elif pairs:
         # one distributed extraction for the whole train set, then local
         # minibatch Adam (BatchTask localization, amortized across batches)
-        involved = sorted({x for t in pairs for x in t})
         inv_df = spark.createDataFrame([(i,) for i in involved], "id long")
         ids, fmat, layer_edges = _extract_local_subgraph(
             spark, inv_df, adjs, feats

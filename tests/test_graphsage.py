@@ -153,3 +153,49 @@ def test_graphsage_embeddings_deterministic(spark):
         for r in graphsage_embeddings(g, feats, model).collect()
     )
     assert a == b
+
+
+def test_distributed_training_matches_local_path(spark):
+    """train_mode='distributed' (no closure collect: DataFrame forward +
+    backward, driver sees only d_out x d_in gradient partials) computes the
+    SAME gradients as the localized numpy path — same seeds, same batches,
+    weights and losses agree to FP-reordering tolerance.  Covers the 2-layer
+    case so the backward G-propagation (adjoint of mean-with-self) is hit."""
+    import numpy as np
+
+    from graph_data_science_spark.operators.graph import LinkGraph
+    from graph_data_science_spark.operators.graphsage import (
+        GraphSageConfig,
+        degree_features,
+        graphsage_train,
+    )
+
+    n = 24
+    edges = [(i, (i + 1) % n) for i in range(n)] + [(i, (i + 5) % n) for i in range(n)]
+    g = LinkGraph.from_edges(spark, edges)
+    feats = degree_features(g, dim=4)
+
+    def run(mode, sizes):
+        cfg = GraphSageConfig(
+            embedding_dimension=4,
+            sample_sizes=sizes,
+            epochs=1,
+            max_iterations=2,
+            batch_size=8,
+            max_train_nodes=10,
+            train_mode=mode,
+            seed=7,
+        )
+        return graphsage_train(g, feats, cfg)
+
+    # 2 layers exercises both backward branches: grads at every k AND the
+    # k>0 G-propagation (verified passing for (3,) single-layer too; one
+    # config keeps the suite's wall-time sane — distributed mode runs many
+    # small Spark jobs per step by design)
+    sizes = (3, 2)
+    a = run("local", sizes)
+    b = run("distributed", sizes)
+    assert a.epoch_losses and b.epoch_losses
+    np.testing.assert_allclose(a.epoch_losses, b.epoch_losses, rtol=1e-7)
+    for Wa, Wb in zip(a.model.weights, b.model.weights):
+        np.testing.assert_allclose(Wa, Wb, rtol=1e-6, atol=1e-10)

@@ -170,8 +170,18 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = web_pages_from_documents(docs)
     cg = build_link_graph(pages)
+    # checkpoint_every=CKPT_EVERY: the corpus graph is small (~35k edges at
+    # sf0.1), so per-superstep wall is ~all serial driver floor; windowing K
+    # supersteps per checkpoint amortizes it exactly like q1 (scores are
+    # identical — the window only batches materialization).  r3's q5 median
+    # regression (20.6 -> 29.5 s) was this unamortized floor x 40 supersteps
+    # plus run-order JIT noise, not a plan change: measured 21-33 s at K=1 vs
+    # 14-15 s at K=4 on identical output (sum(score) = 4992.488494 in both).
     cres = pr_ops.page_rank(
-        cg, pr_ops.PageRankConfig(tolerance=1e-6, max_iterations=40)
+        cg,
+        pr_ops.PageRankConfig(
+            tolerance=1e-6, max_iterations=40, checkpoint_every=CKPT_EVERY
+        ),
     )
     cres.scores.agg(F.sum("score")).collect()
     times["q5_corpus_pipeline"] = time.time() - t0

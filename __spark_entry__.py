@@ -663,6 +663,32 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode distributed end-to-end (operators/codecs.py
+    decode_jpeg: marker/DQT/DHT parsing, huffman entropy decode, batched
+    numpy IDCT, chroma upsample, YCbCr->RGB — no image libraries): 40
+    synthetic JPEGs built to reconstruct bit-exactly (flat even-valued 8x8
+    gray blocks at quality 50 — see synth_jpeg_media), alternating 4:4:4 /
+    4:2:0 and exercising restart markers, decoded + featurized via Arrow
+    mapInPandas.  The oracle is the closed form over the four block values."""
+    from graph_data_science_spark.operators.multimodal import (
+        extract_features,
+        synth_jpeg_media,
+    )
+
+    media = synth_jpeg_media(spark, n=40)
+    feats = extract_features(media, dim=8, fake=False)
+    px = lambda i: F.round(F.element_at("feature", i).cast("double") * 255.0, 3)
+    return feats.select(
+        "media_id",
+        "mime",
+        px(1).alias("mean_r"),
+        px(2).alias("mean_g"),
+        px(3).alias("mean_b"),
+        px(4).alias("std_px"),
+    )
+
+
 def q_similarity_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.similarity.* scalar functions exercised through the registered SQL
     surface (functions.py register_similarity_functions — Spark 4 SQL scalar
@@ -1330,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "multimodal_features": q_multimodal_features,
         "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "similarity_functions": q_similarity_functions,
         "pregel_reach": q_pregel_reach,
         "random_walks": q_random_walks,
@@ -1347,8 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
-        "language_id": q_language_id,
         # -- parked triple-green (past the driver's 50-row window) ---------
+        "language_id": q_language_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "scalers": q_scalers,
         "degree_out": q_degree_out,
@@ -2556,6 +2583,25 @@ m AS (
 SELECT media_id, 'image/png' AS mime,
        ROUND(mr, 3) AS mean_r, ROUND(mg, 3) AS mean_g, ROUND(mb, 3) AS mean_b,
        (SELECT sd FROM s) AS std_px
+FROM m"""
+
+    # real-JPEG decode oracle: synth_jpeg_media images reconstruct bit-exact
+    # (flat even-valued gray blocks at quality 50 — luma DC step 16 divides
+    # 8*(v-128), all AC/chroma coefficients quantize to 0), so channel means
+    # and pixel population std are closed forms over the four block values,
+    # each covering 64 of the 256 pixels with equal weight
+    sqls["multimodal_jpeg"] = """WITH blocks AS (
+  SELECT i, k, CAST(2 * ((i * 37 + k * 53) % 100) + 20 AS DOUBLE) AS v
+  FROM range(40) t(i), range(4) b(k)
+),
+m AS (
+  SELECT i AS media_id,
+         ROUND(AVG(v), 3) AS mean_v,
+         ROUND(STDDEV_POP(v), 3) AS sd
+  FROM blocks GROUP BY i
+)
+SELECT media_id, 'image/jpeg' AS mime,
+       mean_v AS mean_r, mean_v AS mean_g, mean_v AS mean_b, sd AS std_px
 FROM m"""
 
     sql_msbfs = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},

@@ -18,7 +18,12 @@ import struct
 
 import numpy as np
 
-DECODABLE_IMAGE_MIMES = {"image/x-portable-pixmap", "image/bmp", "image/png"}
+DECODABLE_IMAGE_MIMES = {
+    "image/x-portable-pixmap",
+    "image/bmp",
+    "image/png",
+    "image/jpeg",
+}
 DECODABLE_AUDIO_MIMES = {"audio/wav", "audio/x-wav"}
 
 
@@ -283,6 +288,558 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# -- JPEG (baseline sequential DCT; pure numpy + Python-int bit I/O) ----------
+#
+# Closes the "JPEG needs a huffman+IDCT decoder" boundary for real: marker/
+# DQT/DHT/SOF0/SOS parsing, byte-destuffed restart-aware huffman decoding
+# (16-bit peek LUT per table), then the whole image's coefficients are
+# dequantized / dezigzagged / IDCT'd in ONE vectorized numpy pass (batched
+# 8x8 matmuls), chroma nearest-upsampled and YCbCr->RGB'd as plane algebra.
+# The encoder is a real optimizing baseline encoder (per-image length-limited
+# canonical huffman tables, the libjpeg jpeg_gen_optimal_table algorithm) so
+# decode(encode(x)) round-trips are spec-level interop tests, and the test
+# suite additionally hand-crafts a minimal stream bit-by-bit from ITU T.81
+# rules so the decoder is checked against the spec, not just our encoder.
+# Out of (documented) scope: progressive (SOF2), arithmetic coding, 12-bit.
+#
+# Huffman symbol decoding is an inherently sequential bit loop (Python-side,
+# ~1 MB/s) — fine for the mapInPandas per-batch kernel at test scale; a C
+# codec plugs into decode_image() for production throughput.
+
+_DCT8 = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _zigzag_order() -> np.ndarray:
+    """zigzag position i -> raster index, generated (not transcribed)."""
+    out = []
+    for s in range(15):
+        rows = range(s, -1, -1) if s % 2 == 0 else range(0, s + 1)
+        for r in rows:
+            c = s - r
+            if r < 8 and c < 8:
+                out.append(r * 8 + c)
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+
+def _huff_lut(counts: list, symbols: list) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical JPEG huffman table -> 16-bit-peek LUT (symbol, code length).
+    Every code of length L owns the 2^(16-L) LUT slots sharing its prefix."""
+    lut_sym = np.full(1 << 16, -1, dtype=np.int32)
+    lut_len = np.zeros(1 << 16, dtype=np.int32)
+    code, k = 0, 0
+    for L in range(1, 17):
+        for _ in range(counts[L - 1]):
+            lo = code << (16 - L)
+            lut_sym[lo : lo + (1 << (16 - L))] = symbols[k]
+            lut_len[lo : lo + (1 << (16 - L))] = L
+            code += 1
+            k += 1
+        code <<= 1
+    return lut_sym, lut_len
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy bytes (zero-padded tail)."""
+
+    def __init__(self, data: bytes):
+        self.d = data + b"\x00\x00\x00\x00"
+        self.pos = 0
+        self.end = len(data) * 8
+
+    def _window(self) -> tuple[int, int]:
+        i, sh = self.pos >> 3, self.pos & 7
+        return int.from_bytes(self.d[i : i + 4], "big"), sh
+
+    def peek16(self) -> int:
+        w, sh = self._window()
+        return (w >> (16 - sh)) & 0xFFFF
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        w, sh = self._window()
+        self.pos += n
+        return (w >> (32 - sh - n)) & ((1 << n) - 1)
+
+
+def _extend(v: int, s: int) -> int:
+    """ITU T.81 F.2.2.1 EXTEND: magnitude bits -> signed coefficient."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_entropy_intervals(payload: bytes, start: int) -> tuple[list, int]:
+    """Entropy-coded data from `start` split at RSTn boundaries, destuffed.
+    Returns (intervals, index of the terminating marker's 0xFF)."""
+    intervals, seg_start, i, n = [], start, start, len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF and payload[i + 1] != 0x00:
+            m = payload[i + 1]
+            if 0xD0 <= m <= 0xD7:  # RSTn: interval boundary, stay in scan
+                intervals.append(payload[seg_start:i].replace(b"\xff\x00", b"\xff"))
+                i += 2
+                seg_start = i
+                continue
+            break
+        i += 1 + (payload[i] == 0xFF)
+    intervals.append(payload[seg_start:i].replace(b"\xff\x00", b"\xff"))
+    return intervals, i
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """baseline JPEG -> (h, w, 3) uint8 (grayscale replicated to 3 channels)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    frame = None  # (h, w, comps) ; comps = [(id, Hi, Vi, tq)]
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # comp idx -> (by, bx, 64) zigzag ints
+    i = 2
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2 if marker != 0xFF else 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 15
+                if prec == 0:
+                    qt[tid] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=j + 1
+                    ).astype(np.int64)
+                    j += 65
+                else:
+                    qt[tid] = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=j + 1
+                    ).astype(np.int64)
+                    j += 129
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 15
+                counts = list(body[j + 1 : j + 17])
+                nsym = sum(counts)
+                syms = list(body[j + 17 : j + 17 + nsym])
+                huff[(cls, tid)] = _huff_lut(counts, syms)
+                j += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (both huffman sequential)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG sample precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type SOF{marker - 0xC0} not supported (baseline only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            ns = body[0]
+            scan = []  # (comp idx, dc lut, ac lut)
+            for s in range(ns):
+                cs, tt = body[1 + 2 * s], body[2 + 2 * s]
+                ci = next(k for k, c in enumerate(comps) if c[0] == cs)
+                scan.append((ci, huff[(0, tt >> 4)], huff[(1, tt & 15)]))
+                if ci not in coefs:
+                    _, hi, vi, _ = comps[ci]
+                    coefs[ci] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+            intervals, i = _jpeg_entropy_intervals(payload, i + 2 + seglen)
+            if ns == 1:
+                ci, dct, act = scan[0]
+                _, hi, vi, _ = comps[ci]
+                bw = (w * hi + 8 * hmax - 1) // (8 * hmax)
+                bh = (h * vi + 8 * vmax - 1) // (8 * vmax)
+                units = [(ci, dct, act, y, x) for y in range(bh) for x in range(bw)]
+                per_mcu = 1
+            else:
+                units, per_mcu = [], 0
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for ci, dct, act in scan:
+                        _, hi, vi, _ = comps[ci]
+                        for v in range(vi):
+                            for u in range(hi):
+                                units.append((ci, dct, act, my * vi + v, mx * hi + u))
+                per_mcu = sum(comps[ci][1] * comps[ci][2] for ci, _, _ in scan)
+                per_mcu = max(per_mcu, 1)
+            ui = 0
+            for seg in intervals:
+                rd = _BitReader(seg)
+                pred = {ci: 0 for ci, _, _ in scan}
+                limit = (
+                    ui + restart_interval * max(per_mcu, 1)
+                    if restart_interval
+                    else len(units)
+                )
+                while ui < min(limit, len(units)) and rd.pos < rd.end:
+                    ci, (dsym, dlen), (asym, alen), by, bx = units[ui]
+                    blk = coefs[ci][by, bx]
+                    p = rd.peek16()
+                    s = int(dsym[p])
+                    if s < 0:
+                        raise ValueError("invalid JPEG huffman code (DC)")
+                    rd.pos += int(dlen[p])
+                    pred[ci] += _extend(rd.read(s), s)
+                    blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        p = rd.peek16()
+                        rs = int(asym[p])
+                        if rs < 0:
+                            raise ValueError("invalid JPEG huffman code (AC)")
+                        rd.pos += int(alen[p])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        blk[k] = _extend(rd.read(s), s)
+                        k += 1
+                    ui += 1
+            continue  # i already points at the terminating marker
+        i += 2 + seglen
+    if frame is None or not coefs:
+        raise ValueError("JPEG missing SOF/scan data")
+    h, w, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component JPEG not supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        z = coefs[ci] * qt[tq][None, None, :]
+        by, bx, _ = z.shape
+        blk = np.zeros((by, bx, 64), dtype=np.float64)
+        blk[:, :, _ZZ] = z  # dezigzag
+        blk = blk.reshape(by, bx, 8, 8)
+        spatial = _DCT8.T[None, None] @ blk @ _DCT8[None, None]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _optimal_huffman(freq: np.ndarray) -> tuple[list, list]:
+    """Per-image length-limited canonical huffman table — the libjpeg
+    jpeg_gen_optimal_table algorithm (jchuff.c): chain-merge to code sizes,
+    fold lengths >16 down in pairs, drop the sentinel symbol 256 that
+    reserves the all-ones code.  Returns (16 counts, symbols)."""
+    freq = list(freq) + [1]  # sentinel claims the all-ones code
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        c1 = min(
+            (f, -i) for i, f in enumerate(freq) if f > 0
+        )  # lowest freq, highest symbol on ties (libjpeg order)
+        c1 = -c1[1]
+        rest = [(f, -i) for i, f in enumerate(freq) if f > 0 and i != c1]
+        if not rest:
+            break
+        c2 = -min(rest)[1]
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] != -1:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] != -1:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for s in codesize:
+        if s:
+            bits[s] += 1
+    for L in range(32, 16, -1):  # length-limit to 16
+        while bits[L] > 0:
+            j = L - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[L] -= 2
+            bits[L - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    L = 16
+    while bits[L] == 0:
+        L -= 1
+    bits[L] -= 1  # the sentinel's slot (keeps all-ones unassigned)
+    # symbols ordered by pre-limiting code size (ascending, ties by value),
+    # assigned sequentially into the adjusted length classes — libjpeg's
+    # huffval emission order
+    ordered = sorted((codesize[s], s) for s in range(256) if codesize[s])
+    symbols = [s for _, s in ordered][: sum(bits[1:17])]
+    return bits[1:17], symbols
+
+
+def _huff_codes(counts: list, symbols: list) -> dict[int, tuple[int, int]]:
+    codes, code, k = {}, 0, 0
+    for L in range(1, 17):
+        for _ in range(counts[L - 1]):
+            codes[symbols[k]] = (code, L)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-pad
+
+
+# ISO/IEC 10918-1 Annex K.1 base tables, scaled by the libjpeg quality curve
+_Q_LUMA = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+)
+_Q_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99]
+)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _plane_blocks(plane: np.ndarray, qt_raster: np.ndarray) -> np.ndarray:
+    """plane (H, W) multiple-of-8 -> (by*bx, 64) quantized zigzag ints."""
+    H, W = plane.shape
+    by, bx = H // 8, W // 8
+    blk = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).astype(np.float64) - 128.0
+    F8 = _DCT8[None, None] @ blk @ _DCT8.T[None, None]
+    q = np.rint(F8.reshape(by, bx, 64) / qt_raster[None, None, :]).astype(np.int64)
+    return q[:, :, _ZZ].reshape(by * bx, 64), by, bx
+
+
+def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 -> baseline JFIF JPEG with per-image optimal huffman
+    tables.  subsampling: "4:4:4" or "4:2:0".  restart_interval > 0 emits
+    DRI/RSTn every that many MCUs (exercises the decoder's restart path)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3)")
+    x = arr.astype(np.float64)
+    yy = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    cb = -0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1] + 0.5 * x[:, :, 2] + 128.0
+    cr = 0.5 * x[:, :, 0] - 0.418688 * x[:, :, 1] - 0.081312 * x[:, :, 2] + 128.0
+    if subsampling == "4:2:0":
+        hs = vs = 2
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        # chroma averaged over 2x2 (edge-padded to even dims first)
+        cbp = _pad_to(cb, (h + 1) & ~1, (w + 1) & ~1)
+        crp = _pad_to(cr, (h + 1) & ~1, (w + 1) & ~1)
+        cb = cbp.reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+        cr = crp.reshape(ch, 2, cw, 2).mean(axis=(1, 3))
+    elif subsampling == "4:4:4":
+        hs = vs = 1
+        ch, cw = h, w
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    mcux = (w + 8 * hs - 1) // (8 * hs)
+    mcuy = (h + 8 * vs - 1) // (8 * vs)
+    qly = _quality_scale(_Q_LUMA, quality)  # zigzag order (Annex K lists it so)
+    qlc = _quality_scale(_Q_CHROMA, quality)
+    qly_r = np.empty(64, dtype=np.int64)
+    qlc_r = np.empty(64, dtype=np.int64)
+    qly_r[_ZZ] = qly
+    qlc_r[_ZZ] = qlc
+    yq, yby, ybx = _plane_blocks(_pad_to(yy, mcuy * vs * 8, mcux * hs * 8), qly_r)
+    bq, _, _ = _plane_blocks(_pad_to(cb, mcuy * 8, mcux * 8), qlc_r)
+    rq, _, _ = _plane_blocks(_pad_to(cr, mcuy * 8, mcux * 8), qlc_r)
+    yq = yq.reshape(yby, ybx, 64)
+    bq = bq.reshape(mcuy, mcux, 64)
+    rq = rq.reshape(mcuy, mcux, 64)
+
+    # MCU-ordered (component, block) stream with DC differencing
+    def mcu_stream():
+        pred = [0, 0, 0]
+        since_rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                yield ("RST", None, None, None)
+                pred = [0, 0, 0]
+            my, mx = divmod(m, mcux)
+            for ci, grid, (nv, nh) in (
+                (0, yq, (vs, hs)),
+                (1, bq, (1, 1)),
+                (2, rq, (1, 1)),
+            ):
+                for v in range(nv):
+                    for u in range(nh):
+                        blk = grid[my * nv + v, mx * nh + u]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        yield (ci, blk, diff, None)
+
+    def dc_size(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    # pass 1: symbol frequencies for the four optimal tables
+    fdc = [np.zeros(256, dtype=np.int64), np.zeros(256, dtype=np.int64)]
+    fac = [np.zeros(256, dtype=np.int64), np.zeros(256, dtype=np.int64)]
+
+    def ac_symbols(blk: np.ndarray):
+        nz = np.nonzero(blk[1:])[0]
+        k = 1
+        for idx in nz:
+            pos = int(idx) + 1
+            run = pos - k
+            while run >= 16:
+                yield (0xF0, 0, 0)
+                run -= 16
+            v = int(blk[pos])
+            s = dc_size(v)
+            yield ((run << 4) | s, v, s)
+            k = pos + 1
+        if k < 64:
+            yield (0x00, 0, 0)
+
+    for ci, blk, diff, _ in mcu_stream():
+        if ci == "RST":
+            continue
+        t = 0 if ci == 0 else 1
+        fdc[t][dc_size(diff)] += 1
+        for sym, _, _ in ac_symbols(blk):
+            fac[t][sym] += 1
+    tables = {}
+    for t in (0, 1):
+        tables[("dc", t)] = _optimal_huffman(fdc[t])
+        tables[("ac", t)] = _optimal_huffman(fac[t])
+    cdc = [_huff_codes(*tables[("dc", t)]) for t in (0, 1)]
+    cac = [_huff_codes(*tables[("ac", t)]) for t in (0, 1)]
+
+    # pass 2: entropy-coded segment
+    bw = _BitWriter()
+    body = bytearray()
+    rst_n = 0
+    for ci, blk, diff, _ in mcu_stream():
+        if ci == "RST":
+            bw.flush()
+            body += bw.out
+            bw = _BitWriter()
+            body += bytes([0xFF, 0xD0 + (rst_n & 7)])
+            rst_n += 1
+            continue
+        t = 0 if ci == 0 else 1
+        s = dc_size(diff)
+        code, L = cdc[t][s]
+        bw.write(code, L)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        for sym, v, vs_ in ac_symbols(blk):
+            code, L = cac[t][sym]
+            bw.write(code, L)
+            if vs_:
+                bw.write(v if v >= 0 else v + (1 << vs_) - 1, vs_)
+    bw.flush()
+    body += bw.out
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload_) + 2) + payload_
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
+    out += seg(0xDB, bytes([0x00]) + bytes(qly.astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qlc.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for cls, t in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        counts, syms = tables[("dc" if cls == 0 else "ac", t)]
+        out += seg(0xC4, bytes([(cls << 4) | t]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # -- WAV (PCM) ---------------------------------------------------------------
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -343,10 +900,12 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"mime={mime!r}: only PPM(P6)/uncompressed-BMP/PNG decodable without "
-        "an image library (JPEG needs a huffman+IDCT decoder — plug PIL in "
-        "here)"
+        f"mime={mime!r}: only PPM(P6)/uncompressed-BMP/PNG/baseline-JPEG "
+        "decodable without an image library (progressive JPEG, WebP, AVIF, "
+        "... — plug PIL in here)"
     )
 
 

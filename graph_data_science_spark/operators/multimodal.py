@@ -4,14 +4,14 @@ Media are opaque `binary` columns with typed metadata; decode / feature
 extraction / resize / frame-sample run as Arrow-batched `mapInPandas`
 transforms.  Codec status (operators/codecs.py):
 
-- REAL pure-numpy decode/encode for container-free formats: PPM (P6),
-  uncompressed 24-bit BMP, PCM WAV — `fake=False` genuinely decodes these
-  and featurizes the pixels/samples (channel stats + histograms), and
-  `resize` does a real nearest-neighbor resample.
-- Entropy-coded formats (JPEG/PNG/MP4) still raise NotImplementedError at
-  the codec boundary — decoding those without an image/audio library would
-  mean reimplementing Huffman/DEFLATE; PIL/ffmpeg plug in at exactly that
-  seam on a real cluster.
+- REAL pure-numpy decode/encode: PPM (P6), uncompressed 24-bit BMP, PCM
+  WAV, PNG (stdlib zlib + numpy unfilter) and baseline JPEG (huffman +
+  batched IDCT) — `fake=False` genuinely decodes these and featurizes the
+  pixels/samples (channel stats + histograms), and `resize` does a real
+  nearest-neighbor resample.
+- Progressive JPEG / video (MP4) still raise NotImplementedError at the
+  codec boundary; PIL/ffmpeg plug in at exactly that seam on a real
+  cluster.
 - `fake=True` keeps the deterministic hash-derived stand-in features (used
   by the driver oracle, stable across engines).
 """
@@ -110,6 +110,41 @@ def synth_png_media(spark, n: int = 40, size: int = 16, seed: int = 42) -> DataF
         rows.append(
             (i, bytearray(codecs.encode_png(img, filter_type=i % 5)), "image/png", size, size)
         )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(spark, n: int = 40, seed: int = 42) -> DataFrame:
+    """Media table of REAL baseline JPEGs constructed to decode EXACTLY, so
+    the lossy format still gets a closed-form value oracle: each image is a
+    16x16 grid of four flat gray 8x8 blocks with EVEN values
+    v_k = 2*((i*37 + k*53) % 100) + 20.  At quality 50 the Annex-K luma DC
+    quant step is exactly 16, which divides the flat block's DC coefficient
+    8*(v-128) whenever v is even, and every AC (and chroma, since gray means
+    Cb = Cr = 128 identically) quantizes to zero — reconstruction is
+    bit-exact.  Channel means and the population pixel std are therefore
+    closed forms over the four block values.  i alternates 4:4:4 / 4:2:0
+    subsampling and every third image uses restart_interval=1, so the
+    decoder's chroma-upsample and RSTn paths are exercised under the same
+    exact oracle."""
+    import numpy as np
+
+    from graph_data_science_spark.operators import codecs
+
+    rows = []
+    for i in range(n):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for k in range(4):
+            v = 2 * ((i * 37 + k * 53) % 100) + 20
+            by, bx = divmod(k, 2)
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        payload = codecs.encode_jpeg(
+            rgb,
+            quality=50,
+            subsampling="4:2:0" if i % 2 else "4:4:4",
+            restart_interval=1 if i % 3 == 0 else 0,
+        )
+        rows.append((i, bytearray(payload), "image/jpeg", 16, 16))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -50,8 +50,10 @@ def test_resize_nearest_shapes_and_identity():
 
 
 def test_entropy_coded_boundary_raises():
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        codecs.decode_image(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+    # baseline JPEG is now real; the honest boundary moved to progressive
+    # JPEG / formats beyond JFIF (WebP, AVIF, ...)
+    with pytest.raises(NotImplementedError, match="WebP"):
+        codecs.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
 
 
 def test_extract_features_real_decode(spark):
@@ -178,3 +180,159 @@ def test_png_decode_image_dispatch_and_distributed_decode(spark):
         i = r["media_id"]
         # pixel law: mean of channel 0 = (i*37)%170 + 15, scaled by 1/255
         assert abs(r["feature"][0] * 255.0 - ((i * 37) % 170 + 15)) < 1e-3, i
+
+
+# -- JPEG (baseline, pure numpy) ----------------------------------------------
+
+
+def test_jpeg_idct_matches_naive_dct_definition():
+    """The batched matrix IDCT equals the ITU T.81 A.3.3 closed-form double
+    sum, computed here term by term — an independent implementation of the
+    transform, not a reuse of _DCT8."""
+    rng = np.random.RandomState(3)
+    F8 = rng.uniform(-200, 200, size=(8, 8))
+
+    def alpha(u):
+        return np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0)
+
+    naive = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        alpha(u) * alpha(v) * F8[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            naive[y, x] = s
+    fast = codecs._DCT8.T @ F8 @ codecs._DCT8
+    np.testing.assert_allclose(fast, naive, atol=1e-9)
+    # and the matrix is orthonormal (perfect-reconstruction transform)
+    np.testing.assert_allclose(codecs._DCT8 @ codecs._DCT8.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_handcrafted_stream_decodes_per_spec():
+    """A minimal stream assembled byte-by-byte from ITU T.81 rules — not via
+    encode_jpeg — so the decoder is checked against the spec itself:
+    8x8 grayscale, identity quant table, 1-bit huffman codes, single block
+    with DC=26 and an EOB.  Expected pixels: IDCT of F[0,0]=26 is a constant
+    26/8 = 3.25, +128 level shift -> rint(131.25) = 131 everywhere."""
+    import struct
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = bytes([0x00]) + bytes([1] * 64)  # table 0, all ones (zigzag)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table: one 1-bit code '0' -> symbol 5 (category of 26)
+    dht_dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([5])
+    # AC table: one 1-bit code '0' -> symbol 0x00 (EOB)
+    dht_ac = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy bits: DC code '0', magnitude 26 = '11010' (5 bits), EOB '0',
+    # then 1-bit '1' padding -> 0b01101001 = 0x69
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + bytes([0x69])
+        + b"\xff\xd9"
+    )
+    out = codecs.decode_jpeg(payload)
+    assert out.shape == (8, 8, 3)
+    assert (out == 131).all()
+
+
+def test_jpeg_roundtrip_gradient():
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=2
+    ).astype(np.uint8)
+    for q, sub, tol in ((95, "4:4:4", 4), (85, "4:4:4", 6), (85, "4:2:0", 12)):
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q, subsampling=sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= tol, (q, sub, err.max())
+
+
+def test_jpeg_flat_color_exact():
+    flat = np.full((24, 24, 3), 137, dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=90))
+    assert (out == flat).all()
+
+
+def test_jpeg_restart_markers():
+    rng = np.random.RandomState(5)
+    img = np.clip(
+        rng.normal(128, 20, size=(24, 40, 3)).cumsum(axis=1) / 40, 0, 255
+    ).astype(np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    rst = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, restart_interval=2))
+    # restart markers change framing, not content
+    assert np.array_equal(base, rst)
+
+
+def test_jpeg_odd_dimensions_and_chroma_subsampling():
+    h, w = 37, 41  # forces edge-padded partial MCUs in both axes
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 5 % 200, yy * 3 % 200, (xx * yy) % 200], axis=2).astype(
+        np.uint8
+    )
+    for sub in ("4:4:4", "4:2:0"):
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90, subsampling=sub))
+        assert out.shape == (h, w, 3)
+
+
+def test_jpeg_optimal_huffman_is_valid_prefix_code():
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        freq = np.zeros(256, dtype=np.int64)
+        used = rng.choice(256, size=rng.randint(1, 80), replace=False)
+        freq[used] = rng.randint(1, 10_000, size=len(used))
+        counts, symbols = codecs._optimal_huffman(freq)
+        assert sorted(symbols) == sorted(used.tolist())
+        codes = codecs._huff_codes(counts, symbols)
+        # Kraft inequality strictly < 1: the all-ones code stays unassigned
+        kraft = sum(2.0 ** -L for _, L in codes.values())
+        assert kraft < 1.0 or len(codes) == 1
+        assert max(L for _, L in codes.values()) <= 16
+        # prefix-free: no code is a prefix of another
+        bits = sorted(format(c, f"0{L}b") for c, L in codes.values())
+        for a, b in zip(bits, bits[1:]):
+            assert not b.startswith(a)
+        # and the decoder LUT inverts every code exactly
+        lut_sym, lut_len = codecs._huff_lut(counts, symbols)
+        for sym, (c, L) in codes.items():
+            peek = c << (16 - L)
+            assert int(lut_sym[peek]) == sym and int(lut_len[peek]) == L
+
+
+def test_jpeg_boundaries_and_dispatch():
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    payload = codecs.encode_jpeg(img)
+    assert (codecs.decode_image(payload, "image/jpeg") == img).all()
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"notajpeg")
+    # progressive (SOF2) is the honest remaining boundary
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        codecs.decode_jpeg(prog)
+
+
+def test_jpeg_decode_image_dispatch_and_distributed_decode(spark):
+    from graph_data_science_spark.operators.multimodal import synth_jpeg_media
+
+    media = synth_jpeg_media(spark, n=12)
+    out = extract_features(media, dim=8, fake=False).collect()
+    assert len(out) == 12
+    for r in out:
+        i = r["media_id"]
+        vals = [2 * ((i * 37 + k * 53) % 100) + 20 for k in range(4)]
+        # bit-exact reconstruction => channel mean is the exact block average
+        assert abs(r["feature"][0] * 255.0 - sum(vals) / 4.0) < 1e-3, i

@@ -689,6 +689,45 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline distributed end-to-end: AVI (even ids) and MP4
+    (odd ids) Motion-JPEG containers demuxed by operators/codecs.py
+    decode_video (RIFF 'movi' scan / ISO BMFF stsc+stco+stsz walk), every
+    3rd frame sampled with its presentation timestamp (frame_sample), then
+    each sampled frame JPEG-decoded + featurized by the SAME image path
+    (extract_features over frame rows) — video composes with the image
+    pipeline.  Frames reconstruct bit-exactly (synth_video_media), so the
+    oracle is the closed form over the four block values per (video,
+    frame)."""
+    from graph_data_science_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        synth_video_media,
+    )
+
+    media = synth_video_media(spark, n=12, n_frames=8, fps=10.0)
+    frames = frame_sample(media, every_n=3)
+    frame_media = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").alias("payload"),
+        F.lit("image/jpeg").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        "pts_s",
+    )
+    feats = extract_features(
+        frame_media.drop("pts_s"), dim=8, fake=False
+    ).join(frame_media.select("media_id", "pts_s"), "media_id")
+    px = lambda i: F.round(F.element_at("feature", i).cast("double") * 255.0, 3)
+    return feats.select(
+        (F.col("media_id") / 100).cast("long").alias("video_id"),
+        F.pmod(F.col("media_id"), F.lit(100)).cast("int").alias("frame_idx"),
+        F.round("pts_s", 3).alias("pts_s"),
+        px(1).alias("mean_px"),
+        px(4).alias("std_px"),
+    )
+
+
 def q_similarity_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.similarity.* scalar functions exercised through the registered SQL
     surface (functions.py register_similarity_functions — Spark 4 SQL scalar
@@ -1357,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_video": q_multimodal_video,
         "similarity_functions": q_similarity_functions,
         "pregel_reach": q_pregel_reach,
         "random_walks": q_random_walks,
@@ -2603,6 +2643,21 @@ m AS (
 SELECT media_id, 'image/jpeg' AS mime,
        mean_v AS mean_r, mean_v AS mean_g, mean_v AS mean_b, sd AS std_px
 FROM m"""
+
+    # video oracle: AVI/MP4 demux + every-3rd-frame sample + bit-exact JPEG
+    # frame decode (synth_video_media's construction keyed by (video, frame));
+    # pixel mean / population std are closed forms over the four block values
+    sqls["multimodal_video"] = """WITH blocks AS (
+  SELECT i, f, k,
+         CAST(2 * ((i * 37 + f * 17 + k * 53) % 100) + 20 AS DOUBLE) AS v
+  FROM range(12) t(i), (VALUES (0), (3), (6)) s(f), range(4) b(k)
+)
+SELECT i AS video_id,
+       CAST(f AS INT) AS frame_idx,
+       ROUND(f / 10.0, 3) AS pts_s,
+       ROUND(AVG(v), 3) AS mean_px,
+       ROUND(STDDEV_POP(v), 3) AS std_px
+FROM blocks GROUP BY i, f"""
 
     sql_msbfs = f"""WITH RECURSIVE {SQL_EDGES}, {SQL_NODES},
 roots AS (SELECT id FROM nodes WHERE id % 50 = 0),

@@ -889,6 +889,312 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+# -- Video containers: AVI (RIFF) + MP4 (ISO BMFF), Motion-JPEG samples ------
+#
+# The multimodal video story needs a real demux -> frame-sample -> decode
+# path, not a byte-slicing stub.  Both containers are plain structured
+# headers over the per-frame payloads, so with the baseline JPEG codec above
+# they are fully decodable here: AVI per the RIFF/'movi' chunk layout
+# (msdn AVIMAINHEADER/AVISTREAMHEADER), MP4 per ISO/IEC 14496-12 box
+# structure (moov/trak/mdia/minf/stbl: stsd sample description, stts
+# timing, stsc sample-to-chunk, stsz sizes, stco chunk offsets).  The
+# muxers exist so tests and the synthetic corpus can fabricate spec-valid
+# files; the demuxers are general (multi-chunk stsc walks, co64, idx1-free
+# AVI scans) rather than inverses of our muxers.  Out of scope (documented):
+# inter-coded video (H.264/VP9/AV1) — that is where ffmpeg plugs in.
+
+DECODABLE_VIDEO_MIMES = {"video/avi", "video/x-msvideo", "video/mp4"}
+
+
+def jpeg_size(frame: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG's SOF0/1/2 marker (no full decode)."""
+    i, n = 2, len(frame)
+    while i + 4 <= n:
+        if frame[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = frame[i + 1]
+        if m in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack_from(">HH", frame, i + 5)
+            return w, h
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        i += 2 + struct.unpack_from(">H", frame, i + 2)[0]
+    raise ValueError("no SOF marker found")
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) over RIFF sub-chunks."""
+    i = start
+    while i + 8 <= end:
+        cid = buf[i : i + 4]
+        size = struct.unpack_from("<I", buf, i + 4)[0]
+        yield cid, i + 8, min(size, end - i - 8)
+        i += 8 + size + (size & 1)
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: float = 10.0) -> bytes:
+    """Mux JPEG frames into a spec-valid AVI ('vids'/'MJPG' stream + idx1)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    w, h = jpeg_size(frames[0])
+    usec = int(round(1e6 / fps))
+    max_bytes = max(len(f) for f in frames)
+
+    avih = struct.pack(
+        "<10I", usec, max_bytes * int(fps), 0, 0x10, len(frames), 0, 1,
+        max_bytes, w, h,
+    ) + b"\x00" * 16
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1000, int(fps * 1000), 0,
+                      len(frames), max_bytes, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    idx = b""
+    for f in frames:
+        # idx1 offsets are relative to the movi list-type fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi_body) + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Demux an AVI: -> {frames: [bytes], fps, width, height, codec}.
+    Scans the movi list directly (no idx1 dependence); accepts 00dc/00db
+    (and any stream number's ..dc/..db) frame chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    out = {"frames": [], "fps": 0.0, "width": 0, "height": 0, "codec": ""}
+    scale_rate = None
+    usec = None
+
+    def walk(start: int, end: int):
+        nonlocal scale_rate, usec
+        for cid, b, sz in _riff_chunks(payload, start, end):
+            if cid == b"LIST":
+                walk(b + 4, b + sz)
+            elif cid == b"avih":
+                vals = struct.unpack_from("<10I", payload, b)
+                usec = vals[0]
+                out["width"], out["height"] = vals[8], vals[9]
+            elif cid == b"strh" and payload[b : b + 4] == b"vids":
+                out["codec"] = payload[b + 4 : b + 8].decode("ascii", "replace")
+                vals = struct.unpack_from("<IHHIIIII", payload, b + 8)
+                scale_rate = (vals[4], vals[5])
+            elif cid[2:4] in (b"dc", b"db"):
+                out["frames"].append(bytes(payload[b : b + sz]))
+
+    walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if scale_rate and scale_rate[0]:
+        out["fps"] = scale_rate[1] / scale_rate[0]
+    elif usec:
+        out["fps"] = 1e6 / usec
+    return out
+
+
+def _box(name: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + name + body
+
+
+def _full(name: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(name, struct.pack(">I", (version << 24) | flags) + body)
+
+
+_MP4_UNITY = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4_mjpeg(frames: list[bytes], fps: float = 10.0) -> bytes:
+    """Mux JPEG frames into a minimal ISO BMFF MP4 ('jpeg' sample entry,
+    one chunk per frame so demuxers must walk stsc/stco for real)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    w, h = jpeg_size(frames[0])
+    timescale = 600
+    delta = int(round(timescale / fps))
+    dur = delta * len(frames)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat_payload = b"".join(frames)
+    base = len(ftyp) + 8  # first frame's absolute offset (mdat header = 8)
+    offsets, off = [], base
+    for f in frames:
+        offsets.append(off)
+        off += len(f)
+
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # data_reference_index
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12    # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000) # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32                               # compressorname
+        + struct.pack(">Hh", 24, -1)
+    )
+    stbl = _box(b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
+        + _full(b"stts", 0, 0, struct.pack(">III", 1, len(frames), delta))
+        + _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, len(frames))
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+        + _full(b"stco", 0, 0, struct.pack(">I", len(offsets))
+                + b"".join(struct.pack(">I", o) for o in offsets)),
+    )
+    minf = _box(b"minf",
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        + _box(b"dinf", _full(b"dref", 0, 0,
+                              struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")))
+        + stbl)
+    mdia = _box(b"mdia",
+        _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+        + _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                + b"VideoHandler\x00")
+        + minf)
+    tkhd = _full(b"tkhd", 0, 3,
+                 struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
+                 + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_UNITY
+                 + struct.pack(">II", w << 16, h << 16))
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, timescale, dur)
+                 + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+                 + _MP4_UNITY + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (name, body_start, body_size) over ISO BMFF boxes in [start, end)."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack_from(">I", buf, i)[0]
+        name = buf[i + 4 : i + 8]
+        if size == 1:
+            size = struct.unpack_from(">Q", buf, i + 8)[0]
+            body = i + 16
+        elif size == 0:
+            size = end - i
+            body = i + 8
+        else:
+            body = i + 8
+        yield name, body, i + size
+        if size <= 0:
+            break
+        i += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, name: bytes):
+    for n, b, e in _mp4_boxes(buf, start, end):
+        if n == name:
+            return b, e
+    return None
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Demux an MP4: -> {frames: [bytes], fps, width, height, codec}.
+    Generic sample-table walk: stsc expanded over stco/co64 chunks, stsz
+    per-sample sizes, stts first-entry delta + mdhd timescale for fps.
+    Picks the first 'vide' track."""
+    n = len(payload)
+    moov = _mp4_find(payload, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("not an ISO BMFF payload (no moov)")
+    out = {"frames": [], "fps": 0.0, "width": 0, "height": 0, "codec": ""}
+    for name, tb, te in _mp4_boxes(payload, *moov):
+        if name != b"trak":
+            continue
+        mdia = _mp4_find(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_find(payload, *mdia, b"mdhd")
+        ver = payload[mdhd[0]]
+        timescale = struct.unpack_from(
+            ">I", payload, mdhd[0] + (20 if ver == 1 else 12)
+        )[0]
+        minf = _mp4_find(payload, *mdia, b"minf")
+        stbl = _mp4_find(payload, *minf, b"stbl")
+
+        stsd = _mp4_find(payload, *stbl, b"stsd")
+        eb = stsd[0] + 8  # past version/flags + entry_count
+        out["codec"] = payload[eb + 4 : eb + 8].decode("ascii", "replace")
+        out["width"], out["height"] = struct.unpack_from(">HH", payload, eb + 8 + 24)
+
+        stts = _mp4_find(payload, *stbl, b"stts")
+        if struct.unpack_from(">I", payload, stts[0] + 4)[0] > 0:
+            delta = struct.unpack_from(">I", payload, stts[0] + 12)[0]
+            if delta:
+                out["fps"] = timescale / delta
+
+        stsz = _mp4_find(payload, *stbl, b"stsz")
+        fixed, count = struct.unpack_from(">II", payload, stsz[0] + 4)
+        sizes = (
+            [fixed] * count
+            if fixed
+            else list(struct.unpack_from(f">{count}I", payload, stsz[0] + 12))
+        )
+
+        co = _mp4_find(payload, *stbl, b"stco")
+        if co is not None:
+            n_ch = struct.unpack_from(">I", payload, co[0] + 4)[0]
+            chunk_offsets = list(struct.unpack_from(f">{n_ch}I", payload, co[0] + 8))
+        else:
+            co = _mp4_find(payload, *stbl, b"co64")
+            n_ch = struct.unpack_from(">I", payload, co[0] + 4)[0]
+            chunk_offsets = list(struct.unpack_from(f">{n_ch}Q", payload, co[0] + 8))
+
+        stsc = _mp4_find(payload, *stbl, b"stsc")
+        n_e = struct.unpack_from(">I", payload, stsc[0] + 4)[0]
+        ents = [
+            struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * k)
+            for k in range(n_e)
+        ]
+        # expand samples-per-chunk runs over the chunk list
+        spc = []
+        for k, (first, per, _sdi) in enumerate(ents):
+            last = ents[k + 1][0] - 1 if k + 1 < n_e else len(chunk_offsets)
+            spc += [per] * (last - first + 1)
+
+        si = 0
+        for c, coff in enumerate(chunk_offsets):
+            pos = coff
+            for _ in range(spc[c] if c < len(spc) else 0):
+                if si >= len(sizes):
+                    break
+                out["frames"].append(bytes(payload[pos : pos + sizes[si]]))
+                pos += sizes[si]
+                si += 1
+        return out
+    raise ValueError("no video track found")
+
+
+def decode_video(payload: bytes, mime: str | None = None) -> dict:
+    """Dispatch demux by magic: RIFF/AVI or ISO BMFF (ftyp).  Frames are the
+    raw per-sample payloads; for MJPEG tracks each is a decodable JPEG."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return decode_mp4(payload)
+    raise NotImplementedError(
+        f"mime={mime!r}: only AVI/MP4 containers with Motion-JPEG samples are "
+        "decodable without a video library (H.264/VP9/AV1 — plug ffmpeg in here)"
+    )
+
+
 # -- dispatch + kernels ------------------------------------------------------
 
 def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:

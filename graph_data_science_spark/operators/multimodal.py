@@ -9,9 +9,13 @@ transforms.  Codec status (operators/codecs.py):
   batched IDCT) — `fake=False` genuinely decodes these and featurizes the
   pixels/samples (channel stats + histograms), and `resize` does a real
   nearest-neighbor resample.
-- Progressive JPEG / video (MP4) still raise NotImplementedError at the
-  codec boundary; PIL/ffmpeg plug in at exactly that seam on a real
-  cluster.
+- REAL video demux + frame sampling for AVI and MP4 containers carrying
+  Motion-JPEG (codecs.decode_video: RIFF 'movi' scan / ISO BMFF
+  stsc+stco+stsz walk); sampled frames are plain JPEGs that feed the same
+  image path.
+- Progressive JPEG and inter-coded video (H.264/VP9/AV1) still raise
+  NotImplementedError at the codec boundary; PIL/ffmpeg plug in at exactly
+  that seam on a real cluster.
 - `fake=True` keeps the deterministic hash-derived stand-in features (used
   by the driver oracle, stable across engines).
 """
@@ -148,6 +152,38 @@ def synth_jpeg_media(spark, n: int = 40, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _exact_jpeg_frame(i: int, f: int) -> "bytes":
+    """One 16x16 gray frame that baseline-JPEG round-trips bit-exactly (the
+    synth_jpeg_media construction, keyed by (video, frame))."""
+    import numpy as np
+
+    from graph_data_science_spark.operators import codecs
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for k in range(4):
+        v = 2 * ((i * 37 + f * 17 + k * 53) % 100) + 20
+        by, bx = divmod(k, 2)
+        img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    return codecs.encode_jpeg(np.repeat(img[:, :, None], 3, axis=2), quality=50)
+
+
+def synth_video_media(spark, n: int = 12, n_frames: int = 8, fps: float = 10.0) -> DataFrame:
+    """Media table of REAL Motion-JPEG videos — AVI for even ids, MP4 for odd
+    — whose frames reconstruct bit-exactly (synth_jpeg_media's flat
+    even-valued-block construction keyed by (video, frame)), so the full
+    demux -> frame-sample -> JPEG-decode pipeline gets closed-form value
+    oracles over (media_id, frame_idx)."""
+    from graph_data_science_spark.operators import codecs
+
+    rows = []
+    for i in range(n):
+        frames = [_exact_jpeg_frame(i, f) for f in range(n_frames)]
+        mux = codecs.encode_avi_mjpeg if i % 2 == 0 else codecs.encode_mp4_mjpeg
+        mime = "video/avi" if i % 2 == 0 else "video/mp4"
+        rows.append((i, bytearray(mux(frames, fps=fps)), mime, 16, 16))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _fake_feature(payload: bytes, dim: int) -> list:
     """Deterministic feature vector from payload bytes (stands in for a real
     encoder; stable across partitionings)."""
@@ -222,9 +258,52 @@ def resize_stub(media: DataFrame, width: int, height: int, fake: bool = True) ->
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("pts_s", T.DoubleType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling: demux each AVI/MP4 payload (codecs.
+    decode_video — RIFF 'movi' scan / ISO BMFF stsc+stco+stsz walk), keep
+    every `every_n`-th sample, emit one row per kept frame with its
+    presentation timestamp.  Each emitted `frame` is the raw Motion-JPEG
+    sample — decodable downstream by extract_features / decode_image, so
+    video composes with the image pipeline instead of duplicating it.
+    Partitioning: one input row fans out to ceil(n_frames/every_n) output
+    rows inside the Arrow batch; at 100 TB the fan-out is bounded by
+    frames-per-video, and repartitioning the OUTPUT (tiny JPEG rows) is
+    cheap relative to shipping the input containers twice."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graph_data_science_spark.operators import codecs
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "pts_s": [], "frame": []}
+            for mid, payload, mime in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
+                v = codecs.decode_video(bytes(payload or b""), mime)
+                dt = 1.0 / v["fps"] if v["fps"] else None
+                for idx in range(0, len(v["frames"]), every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["pts_s"].append(idx * dt if dt is not None else None)
+                    rows["frame"].append(v["frames"][idx])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def frame_sample_stub(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
-    """Video frame sampling plumbing: emits one row per sampled frame index
-    with a deterministic per-frame payload slice."""
+    """Frame-sampling plumbing shim: fake=True keeps the deterministic
+    byte-slicing stand-in (partitioning-stable, engine-replayable);
+    fake=False delegates to the real demux path (frame_sample)."""
+    if not fake:
+        return frame_sample(media, every_n=every_n).drop("pts_s")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -235,8 +314,6 @@ def frame_sample_stub(media: DataFrame, every_n: int = 10, fake: bool = True) ->
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
             rows = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 n_frames = max(1, len(payload or b"") // 8)

@@ -336,3 +336,125 @@ def test_jpeg_decode_image_dispatch_and_distributed_decode(spark):
         vals = [2 * ((i * 37 + k * 53) % 100) + 20 for k in range(4)]
         # bit-exact reconstruction => channel mean is the exact block average
         assert abs(r["feature"][0] * 255.0 - sum(vals) / 4.0) < 1e-3, i
+
+
+# -- Video containers (AVI / MP4, Motion-JPEG) --------------------------------
+
+
+def _jpeg_frames(n=7, seed=1):
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        img = np.clip(
+            rng.normal(128, 30, (24, 32, 3)).cumsum(axis=1) / 32, 0, 255
+        ).astype(np.uint8)
+        out.append(codecs.encode_jpeg(img, quality=90))
+    return out
+
+
+def test_avi_mjpeg_roundtrip():
+    frames = _jpeg_frames()
+    blob = codecs.encode_avi_mjpeg(frames, fps=12.0)
+    v = codecs.decode_avi(blob)
+    assert v["frames"] == frames  # demux is byte-exact
+    assert (v["fps"], v["width"], v["height"], v["codec"]) == (12.0, 32, 24, "MJPG")
+    assert codecs.decode_video(blob)["frames"] == frames  # magic dispatch
+    assert codecs.decode_jpeg(v["frames"][3]).shape == (24, 32, 3)
+
+
+def test_mp4_mjpeg_roundtrip():
+    frames = _jpeg_frames(seed=2)
+    blob = codecs.encode_mp4_mjpeg(frames, fps=25.0)
+    v = codecs.decode_mp4(blob)
+    assert v["frames"] == frames
+    assert (v["fps"], v["width"], v["height"], v["codec"]) == (25.0, 32, 24, "jpeg")
+    assert codecs.decode_video(blob)["frames"] == frames
+
+
+def test_mp4_demux_multi_sample_chunks_and_co64():
+    """Spec-crafted sample table our muxer never emits: TWO stsc runs
+    (chunk 1 holds 3 samples, chunk 2 holds the remaining 2) and a co64
+    (64-bit) chunk-offset box — the demuxer must walk the real
+    stsc-expansion logic, not assume one-sample-per-chunk."""
+    import struct
+
+    samples = [bytes([65 + i]) * (10 + i) for i in range(5)]
+    mdat_payload = b"".join(samples)
+    ftyp = codecs._box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    base = len(ftyp) + 8
+    chunk_offsets = [base, base + sum(len(s) for s in samples[:3])]
+
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", 8, 8)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stbl = codecs._box(
+        b"stbl",
+        codecs._full(b"stsd", 0, 0, struct.pack(">I", 1) + codecs._box(b"jpeg", entry))
+        + codecs._full(b"stts", 0, 0, struct.pack(">III", 1, 5, 60))
+        + codecs._full(
+            b"stsc", 0, 0,
+            struct.pack(">I", 2)
+            + struct.pack(">III", 1, 3, 1)
+            + struct.pack(">III", 2, 2, 1),
+        )
+        + codecs._full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, 5)
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+        + codecs._full(
+            b"co64", 0, 0,
+            struct.pack(">I", 2) + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        ),
+    )
+    minf = codecs._box(
+        b"minf",
+        codecs._full(b"vmhd", 0, 1, b"\x00" * 8)
+        + codecs._box(
+            b"dinf",
+            codecs._full(b"dref", 0, 0, struct.pack(">I", 1) + codecs._full(b"url ", 0, 1, b"")),
+        )
+        + stbl,
+    )
+    mdia = codecs._box(
+        b"mdia",
+        codecs._full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 600, 300, 0x55C4, 0))
+        + codecs._full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"V\x00")
+        + minf,
+    )
+    moov = codecs._box(b"moov", codecs._box(b"trak", mdia))
+    blob = ftyp + codecs._box(b"mdat", mdat_payload) + moov
+    v = codecs.decode_mp4(blob)
+    assert v["frames"] == samples
+    assert v["fps"] == 10.0  # timescale 600 / delta 60
+    assert (v["width"], v["height"]) == (8, 8)
+
+
+def test_video_boundary_raises_for_intercoded():
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        codecs.decode_video(b"\x1a\x45\xdf\xa3webmdata", "video/webm")
+
+
+def test_frame_sample_distributed_exact(spark):
+    from graph_data_science_spark.operators.multimodal import (
+        frame_sample,
+        synth_video_media,
+    )
+
+    media = synth_video_media(spark, n=6, n_frames=8, fps=10.0)
+    rows = frame_sample(media, every_n=3).collect()
+    # 6 videos x frames {0, 3, 6}
+    assert len(rows) == 18
+    for r in rows:
+        assert r["frame_idx"] in (0, 3, 6)
+        assert abs(r["pts_s"] - r["frame_idx"] / 10.0) < 1e-9
+        img = codecs.decode_jpeg(bytes(r["frame"]))
+        i, f = r["media_id"], r["frame_idx"]
+        vals = [2 * ((i * 37 + f * 17 + k * 53) % 100) + 20 for k in range(4)]
+        # bit-exact frames: pixel mean IS the block average
+        assert abs(img.astype(float).mean() - sum(vals) / 4.0) < 1e-9

@@ -669,8 +669,10 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy IDCT, chroma upsample, YCbCr->RGB — no image libraries): 40
     synthetic JPEGs built to reconstruct bit-exactly (flat even-valued 8x8
     gray blocks at quality 50 — see synth_jpeg_media), alternating 4:4:4 /
-    4:2:0 and exercising restart markers, decoded + featurized via Arrow
-    mapInPandas.  The oracle is the closed form over the four block values."""
+    4:2:0, every fourth image PROGRESSIVE (SOF2 successive approximation +
+    spectral selection), others exercising restart markers, decoded +
+    featurized via Arrow mapInPandas.  The oracle is the closed form over
+    the four block values."""
     from graph_data_science_spark.operators.multimodal import (
         extract_features,
         synth_jpeg_media,

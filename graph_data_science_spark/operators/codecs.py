@@ -300,7 +300,13 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 # decode(encode(x)) round-trips are spec-level interop tests, and the test
 # suite additionally hand-crafts a minimal stream bit-by-bit from ITU T.81
 # rules so the decoder is checked against the spec, not just our encoder.
-# Out of (documented) scope: progressive (SOF2), arithmetic coding, 12-bit.
+# Progressive (SOF2) is fully supported both ways: the decoder implements
+# T.81 G.2 spectral-selection bands and DC/AC successive approximation
+# (EOBRUN coding, correction-bit refinement), the encoder emits the libjpeg
+# default 10-scan progression — and because progression transmits the same
+# quantized coefficients, decode(encode(x, progressive=True)) is asserted
+# BIT-IDENTICAL to the baseline encoding's decode.
+# Out of (documented) scope: arithmetic coding, 12-bit, hierarchical.
 #
 # Huffman symbol decoding is an inherently sequential bit loop (Python-side,
 # ~1 MB/s) — fine for the mapInPandas per-batch kernel at test scale; a C
@@ -398,12 +404,18 @@ def _jpeg_entropy_intervals(payload: bytes, start: int) -> tuple[list, int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """baseline JPEG -> (h, w, 3) uint8 (grayscale replicated to 3 channels)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG -> (h, w, 3) uint8
+    (grayscale replicated to 3 channels).  Progressive scans follow ITU
+    T.81 G.1/G.2: spectral selection bands, DC/AC successive approximation
+    with EOBRUN coding and correction-bit refinement; every scan accumulates
+    into the same whole-image coefficient buffer, so the final dequantize +
+    batched IDCT pass is shared with the baseline path."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     frame = None  # (h, w, comps) ; comps = [(id, Hi, Vi, tq)]
+    progressive = False
     restart_interval = 0
     coefs: dict[int, np.ndarray] = {}  # comp idx -> (by, bx, 64) zigzag ints
     i = 2
@@ -443,7 +455,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 syms = list(body[j + 17 : j + 17 + nsym])
                 huff[(cls, tid)] = _huff_lut(counts, syms)
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (both huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG sample precision {prec}")
@@ -452,8 +464,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type SOF{marker - 0xC0} not supported (baseline only)"
@@ -469,11 +480,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             ns = body[0]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
             scan = []  # (comp idx, dc lut, ac lut)
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
                 ci = next(k for k, c in enumerate(comps) if c[0] == cs)
-                scan.append((ci, huff[(0, tt >> 4)], huff[(1, tt & 15)]))
+                # refinement scans may reference an absent table slot
+                scan.append((ci, huff.get((0, tt >> 4)), huff.get((1, tt & 15))))
                 if ci not in coefs:
                     _, hi, vi, _ = comps[ci]
                     coefs[ci] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
@@ -496,43 +510,128 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 units.append((ci, dct, act, my * vi + v, mx * hi + u))
                 per_mcu = sum(comps[ci][1] * comps[ci][2] for ci, _, _ in scan)
                 per_mcu = max(per_mcu, 1)
+            if progressive and ss == 0 and se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            p1, mm1 = 1 << al, -(1 << al)
             ui = 0
             for seg in intervals:
                 rd = _BitReader(seg)
                 pred = {ci: 0 for ci, _, _ in scan}
+                eobrun = 0  # EOB runs never cross a restart boundary
                 limit = (
                     ui + restart_interval * max(per_mcu, 1)
                     if restart_interval
                     else len(units)
                 )
                 while ui < min(limit, len(units)) and rd.pos < rd.end:
-                    ci, (dsym, dlen), (asym, alen), by, bx = units[ui]
+                    ci, dct_, act_, by, bx = units[ui]
                     blk = coefs[ci][by, bx]
-                    p = rd.peek16()
-                    s = int(dsym[p])
-                    if s < 0:
-                        raise ValueError("invalid JPEG huffman code (DC)")
-                    rd.pos += int(dlen[p])
-                    pred[ci] += _extend(rd.read(s), s)
-                    blk[0] = pred[ci]
-                    k = 1
-                    while k < 64:
+                    if not progressive:
+                        dsym, dlen = dct_
+                        asym, alen = act_
                         p = rd.peek16()
-                        rs = int(asym[p])
-                        if rs < 0:
-                            raise ValueError("invalid JPEG huffman code (AC)")
-                        rd.pos += int(alen[p])
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        blk[k] = _extend(rd.read(s), s)
-                        k += 1
+                        s = int(dsym[p])
+                        if s < 0:
+                            raise ValueError("invalid JPEG huffman code (DC)")
+                        rd.pos += int(dlen[p])
+                        pred[ci] += _extend(rd.read(s), s)
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            p = rd.peek16()
+                            rs = int(asym[p])
+                            if rs < 0:
+                                raise ValueError("invalid JPEG huffman code (AC)")
+                            rd.pos += int(alen[p])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            blk[k] = _extend(rd.read(s), s)
+                            k += 1
+                    elif ss == 0 and ah == 0:  # DC first: diffs of DC>>Al
+                        dsym, dlen = dct_
+                        p = rd.peek16()
+                        s = int(dsym[p])
+                        if s < 0:
+                            raise ValueError("invalid JPEG huffman code (DC)")
+                        rd.pos += int(dlen[p])
+                        pred[ci] += _extend(rd.read(s), s)
+                        blk[0] = pred[ci] << al
+                    elif ss == 0:  # DC refine: one bit per block at weight Al
+                        blk[0] = int(blk[0]) | (rd.read(1) << al)
+                    elif ah == 0:  # AC first: band coefficients + EOBRUN
+                        if eobrun > 0:
+                            eobrun -= 1
+                        else:
+                            asym, alen = act_
+                            k = ss
+                            while k <= se:
+                                p = rd.peek16()
+                                rs = int(asym[p])
+                                if rs < 0:
+                                    raise ValueError("invalid JPEG huffman code (AC)")
+                                rd.pos += int(alen[p])
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += rd.read(r)
+                                        break
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > se:
+                                    raise ValueError("JPEG AC run past band end")
+                                blk[k] = _extend(rd.read(s), s) << al
+                                k += 1
+                    else:  # AC refine (T.81 G.1.2.3: correction-bit advance)
+                        k = ss
+                        if eobrun == 0:
+                            asym, alen = act_
+                            while k <= se:
+                                p = rd.peek16()
+                                rs = int(asym[p])
+                                if rs < 0:
+                                    raise ValueError("invalid JPEG huffman code (AC)")
+                                rd.pos += int(alen[p])
+                                r, s = rs >> 4, rs & 15
+                                val = 0
+                                if s:
+                                    val = p1 if rd.read(1) else mm1
+                                elif r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += rd.read(r)
+                                    break
+                                # advance: skip r zero-history coefficients,
+                                # correcting nonzero-history ones on the way
+                                while k <= se:
+                                    c = int(blk[k])
+                                    if c != 0:
+                                        if rd.read(1) and (c & p1) == 0:
+                                            blk[k] = c + (p1 if c >= 0 else mm1)
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if val:
+                                    blk[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                c = int(blk[k])
+                                if c != 0 and rd.read(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else mm1)
+                                k += 1
+                            eobrun -= 1
                     ui += 1
             continue  # i already points at the terminating marker
         i += 2 + seglen
@@ -691,18 +790,239 @@ def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
     return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
 
 
+def _jseg(marker: int, payload_: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload_) + 2) + payload_
+
+
+# libjpeg's default progression for 3-component images: coarse DC, a luma
+# low-band preview, coarse chroma, the luma high band, then one successive-
+# approximation refinement pass per band.  (ci, Ss, Se, Ah, Al); ci=None is
+# the interleaved all-component DC scan.
+_PROG_SCRIPT = [
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (2, 1, 63, 0, 1),
+    (1, 1, 63, 0, 1),
+    (0, 6, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    (None, 0, 0, 1, 0),
+    (2, 1, 63, 1, 0),
+    (1, 1, 63, 1, 0),
+    (0, 1, 63, 1, 0),
+]
+
+
+def _ac_first_tokens(blocks: list, ss: int, se: int, al: int) -> list:
+    """AC first-pass scan tokens (T.81 G.1.2.2): (symbol, [(bits, n), ...]);
+    point-transformed band coefficients with ZRL + EOBRUN coding."""
+    toks: list = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            toks.append((nb << 4, [(eobrun - (1 << nb), nb)] if nb else []))
+            eobrun = 0
+
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(blk[k])
+            t = t >> al if t >= 0 else -((-t) >> al)
+            if t == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                toks.append((0xF0, []))
+                r -= 16
+            s = abs(t).bit_length()
+            toks.append(((r << 4) | s, [(t if t >= 0 else t + (1 << s) - 1, s)]))
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return toks
+
+
+def _ac_refine_tokens(blocks: list, ss: int, se: int, al: int) -> list:
+    """AC refinement scan tokens (T.81 G.1.2.3).  Correction bits are
+    emitted POSITIONALLY — each ZRL / newly-nonzero symbol carries exactly
+    the correction bits of the nonzero-history coefficients its advance
+    span covers, mirroring the decoder's interleaved-read discipline; an
+    EOB run buffers every member block's tail correction bits behind the
+    EOBn symbol in block order."""
+    toks: list = []
+    eobrun = 0
+    be: list = []  # correction bits buffered behind the pending EOB run
+
+    def flush():
+        nonlocal eobrun, be
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            extras = ([(eobrun - (1 << nb), nb)] if nb else []) + be
+            toks.append((nb << 4, extras))
+            eobrun, be = 0, []
+
+    for blk in blocks:
+        # event stream over the band: Z = zero history, C = nonzero history
+        # (its correction bit), N = newly nonzero (its sign bit)
+        ev = []
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            a = (c if c >= 0 else -c) >> al
+            if a == 0:
+                ev.append(("Z", 0))
+            elif a == 1:
+                ev.append(("N", 1 if c > 0 else 0))
+            else:
+                ev.append(("C", a & 1))
+        i = 0
+        while True:
+            if i >= len(ev):
+                # the last symbol stored at the band end: the decoder leaves
+                # this block immediately, so it must NOT join an EOB run
+                break
+            j, z, nxt = i, 0, None
+            while j < len(ev):
+                if ev[j][0] == "N":
+                    nxt = j
+                    break
+                if ev[j][0] == "Z":
+                    z += 1
+                j += 1
+            if nxt is None:  # tail joins the EOB run
+                eobrun += 1
+                be.extend((e[1], 1) for e in ev[i:] if e[0] == "C")
+                if eobrun == 0x7FFF or len(be) > 930:
+                    flush()
+                break
+            while z > 15:
+                flush()
+                bits, zc = [], 0
+                while zc < 16:  # span: the next 16 zero-history positions
+                    e = ev[i]
+                    i += 1
+                    if e[0] == "Z":
+                        zc += 1
+                    else:
+                        bits.append((e[1], 1))
+                toks.append((0xF0, bits))
+                z -= 16
+            flush()
+            bits = []
+            while i < nxt:
+                e = ev[i]
+                i += 1
+                if e[0] == "C":
+                    bits.append((e[1], 1))
+            toks.append(((z << 4) | 1, [(ev[nxt][1], 1)] + bits))
+            i = nxt + 1
+    flush()
+    return toks
+
+
+def _progressive_scans(
+    grids: list, true_dims: list, mcux: int, mcuy: int, hs: int, vs: int
+) -> bytes:
+    """All scan segments (per-scan optimal DHTs + SOS + entropy) for the
+    default progression.  grids[ci] is the MCU-padded (by, bx, 64) zigzag
+    block grid; true_dims[ci] the un-padded (bh, bw) used by the
+    non-interleaved AC scans (T.81 A.2.2: single-component scans code only
+    the component's own block grid)."""
+    samp = [(vs, hs), (1, 1), (1, 1)]
+    out = bytearray()
+    for ci, ss, se, ah, al in _PROG_SCRIPT:
+        toks: list = []  # (table_slot | None, symbol | None, extras)
+        if ci is None and ah == 0:  # interleaved DC first: diffs of DC>>Al
+            pred = [0, 0, 0]
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for c in range(3):
+                    nv, nh = samp[c]
+                    for v in range(nv):
+                        for u in range(nh):
+                            blk = grids[c][my * nv + v, mx * nh + u]
+                            dcv = int(blk[0]) >> al
+                            diff = dcv - pred[c]
+                            pred[c] = dcv
+                            s = abs(diff).bit_length()
+                            toks.append((
+                                0 if c == 0 else 1,
+                                s,
+                                [(diff if diff >= 0 else diff + (1 << s) - 1, s)]
+                                if s else [],
+                            ))
+        elif ci is None:  # interleaved DC refine: bit Al per block
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for c in range(3):
+                    nv, nh = samp[c]
+                    for v in range(nv):
+                        for u in range(nh):
+                            blk = grids[c][my * nv + v, mx * nh + u]
+                            toks.append((None, None, [((int(blk[0]) >> al) & 1, 1)]))
+        else:
+            bh, bw = true_dims[ci]
+            blocks = [grids[ci][y, x] for y in range(bh) for x in range(bw)]
+            gen = _ac_first_tokens if ah == 0 else _ac_refine_tokens
+            toks = [(0, sym, ex) for sym, ex in gen(blocks, ss, se, al)]
+
+        # per-scan optimal tables for the used slots
+        slots = sorted({t for t, sym, _ in toks if sym is not None})
+        codes = {}
+        for t in slots:
+            freq = np.zeros(256, dtype=np.int64)
+            for tt, sym, _ in toks:
+                if sym is not None and tt == t:
+                    freq[sym] += 1
+            counts, syms = _optimal_huffman(freq)
+            cls = 0 if ss == 0 else 1
+            out += _jseg(0xC4, bytes([(cls << 4) | t]) + bytes(counts) + bytes(syms))
+            codes[t] = _huff_codes(counts, syms)
+
+        if ci is None:
+            sos = bytes([3, 1, 0x00, 2, 0x10 if ah == 0 else 0x00, 3,
+                         0x10 if ah == 0 else 0x00])
+        else:
+            sos = bytes([1, ci + 1, 0x00])
+        out += _jseg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+
+        bw_ = _BitWriter()
+        for t, sym, extras in toks:
+            if sym is not None:
+                code, L = codes[t][sym]
+                bw_.write(code, L)
+            for v, nb in extras:
+                if nb:
+                    bw_.write(v, nb)
+        bw_.flush()
+        out += bw_.out
+    return bytes(out)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 85,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w, 3) uint8 -> baseline JFIF JPEG with per-image optimal huffman
-    tables.  subsampling: "4:4:4" or "4:2:0".  restart_interval > 0 emits
-    DRI/RSTn every that many MCUs (exercises the decoder's restart path)."""
+    """(h, w, 3) uint8 -> JFIF JPEG with per-image optimal huffman tables.
+    subsampling: "4:4:4" or "4:2:0".  restart_interval > 0 emits DRI/RSTn
+    every that many MCUs (exercises the decoder's restart path).
+    progressive=True emits SOF2 with the libjpeg default progression
+    (spectral selection + successive approximation); it transmits the SAME
+    quantized coefficients, so the decode is bit-identical to the baseline
+    encoding's."""
     h, w, c = arr.shape
     if c != 3:
         raise ValueError("encode_jpeg expects (h, w, 3)")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is not supported with progressive=True")
     x = arr.astype(np.float64)
     yy = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
     cb = -0.168736 * x[:, :, 0] - 0.331264 * x[:, :, 1] + 0.5 * x[:, :, 2] + 128.0
@@ -734,6 +1054,28 @@ def encode_jpeg(
     yq = yq.reshape(yby, ybx, 64)
     bq = bq.reshape(mcuy, mcux, 64)
     rq = rq.reshape(mcuy, mcux, 64)
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return _jseg(marker, payload_)
+
+    header = bytearray(b"\xff\xd8")
+    header += seg(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
+    header += seg(0xDB, bytes([0x00]) + bytes(qly.astype(np.uint8)))
+    header += seg(0xDB, bytes([0x01]) + bytes(qlc.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+
+    if progressive:
+        true_dims = [
+            ((h + 7) // 8, (w + 7) // 8),
+            ((h + 8 * vs - 1) // (8 * vs), (w + 8 * hs - 1) // (8 * hs)),
+            ((h + 8 * vs - 1) // (8 * vs), (w + 8 * hs - 1) // (8 * hs)),
+        ]
+        out = header
+        out += seg(0xC2, sof)
+        out += _progressive_scans([yq, bq, rq], true_dims, mcux, mcuy, hs, vs)
+        out += b"\xff\xd9"
+        return bytes(out)
 
     # MCU-ordered (component, block) stream with DC differencing
     def mcu_stream():
@@ -819,15 +1161,7 @@ def encode_jpeg(
     bw.flush()
     body += bw.out
 
-    def seg(marker: int, payload_: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload_) + 2) + payload_
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
-    out += seg(0xDB, bytes([0x00]) + bytes(qly.astype(np.uint8)))
-    out += seg(0xDB, bytes([0x01]) + bytes(qlc.astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out = header
     out += seg(0xC0, sof)
     for cls, t in ((0, 0), (0, 1), (1, 0), (1, 1)):
         counts, syms = tables[("dc" if cls == 0 else "ac", t)]
@@ -1209,9 +1543,9 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
     raise NotImplementedError(
-        f"mime={mime!r}: only PPM(P6)/uncompressed-BMP/PNG/baseline-JPEG "
-        "decodable without an image library (progressive JPEG, WebP, AVIF, "
-        "... — plug PIL in here)"
+        f"mime={mime!r}: only PPM(P6)/uncompressed-BMP/PNG/JPEG (baseline + "
+        "progressive) decodable without an image library (WebP, AVIF, ... — "
+        "plug PIL in here)"
     )
 
 

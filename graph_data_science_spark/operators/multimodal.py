@@ -5,15 +5,16 @@ extraction / resize / frame-sample run as Arrow-batched `mapInPandas`
 transforms.  Codec status (operators/codecs.py):
 
 - REAL pure-numpy decode/encode: PPM (P6), uncompressed 24-bit BMP, PCM
-  WAV, PNG (stdlib zlib + numpy unfilter) and baseline JPEG (huffman +
-  batched IDCT) — `fake=False` genuinely decodes these and featurizes the
-  pixels/samples (channel stats + histograms), and `resize` does a real
-  nearest-neighbor resample.
+  WAV, PNG (stdlib zlib + numpy unfilter) and JPEG — baseline AND
+  progressive SOF2 (huffman + successive approximation + batched IDCT) —
+  `fake=False` genuinely decodes these and featurizes the pixels/samples
+  (channel stats + histograms), and `resize` does a real nearest-neighbor
+  resample.
 - REAL video demux + frame sampling for AVI and MP4 containers carrying
   Motion-JPEG (codecs.decode_video: RIFF 'movi' scan / ISO BMFF
   stsc+stco+stsz walk); sampled frames are plain JPEGs that feed the same
   image path.
-- Progressive JPEG and inter-coded video (H.264/VP9/AV1) still raise
+- Arithmetic-coded JPEG and inter-coded video (H.264/VP9/AV1) still raise
   NotImplementedError at the codec boundary; PIL/ffmpeg plug in at exactly
   that seam on a real cluster.
 - `fake=True` keeps the deterministic hash-derived stand-in features (used
@@ -127,9 +128,11 @@ def synth_jpeg_media(spark, n: int = 40, seed: int = 42) -> DataFrame:
     Cb = Cr = 128 identically) quantizes to zero — reconstruction is
     bit-exact.  Channel means and the population pixel std are therefore
     closed forms over the four block values.  i alternates 4:4:4 / 4:2:0
-    subsampling and every third image uses restart_interval=1, so the
-    decoder's chroma-upsample and RSTn paths are exercised under the same
-    exact oracle."""
+    subsampling, every i%4==1 image is PROGRESSIVE (SOF2, the libjpeg
+    default 10-scan progression — same quantized coefficients, so the same
+    exact oracle), and every third non-progressive image uses
+    restart_interval=1; chroma-upsample, successive-approximation, and
+    RSTn decode paths are all exercised under one oracle."""
     import numpy as np
 
     from graph_data_science_spark.operators import codecs
@@ -142,11 +145,13 @@ def synth_jpeg_media(spark, n: int = 40, seed: int = 42) -> DataFrame:
             by, bx = divmod(k, 2)
             img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
         rgb = np.repeat(img[:, :, None], 3, axis=2)
+        prog = i % 4 == 1
         payload = codecs.encode_jpeg(
             rgb,
             quality=50,
             subsampling="4:2:0" if i % 2 else "4:4:4",
-            restart_interval=1 if i % 3 == 0 else 0,
+            restart_interval=1 if (i % 3 == 0 and not prog) else 0,
+            progressive=prog,
         )
         rows.append((i, bytearray(payload), "image/jpeg", 16, 16))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

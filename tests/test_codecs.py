@@ -319,9 +319,13 @@ def test_jpeg_boundaries_and_dispatch():
     assert (codecs.decode_image(payload, "image/jpeg") == img).all()
     with pytest.raises(ValueError, match="SOI"):
         codecs.decode_jpeg(b"notajpeg")
-    # progressive (SOF2) is the honest remaining boundary
+    # arithmetic coding (SOF9) is the honest remaining boundary
+    arith = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        codecs.decode_jpeg(arith)
+    # a baseline full-band scan is invalid under a progressive frame header
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         codecs.decode_jpeg(prog)
 
 
@@ -458,3 +462,89 @@ def test_frame_sample_distributed_exact(spark):
         vals = [2 * ((i * 37 + f * 17 + k * 53) % 100) + 20 for k in range(4)]
         # bit-exact frames: pixel mean IS the block average
         assert abs(img.astype(float).mean() - sum(vals) / 4.0) < 1e-9
+
+
+# -- Progressive JPEG (SOF2) ---------------------------------------------------
+
+
+def test_jpeg_progressive_decode_identical_to_baseline():
+    """Progression transmits the same quantized coefficients, so decoding a
+    progressive encoding must be BIT-IDENTICAL to decoding the baseline
+    encoding — across subsampling, quality, and content (noise stresses the
+    ZRL / EOBRUN / correction-bit paths)."""
+    rng = np.random.RandomState(9)
+    cases = [
+        (rng.randint(0, 256, (41, 67, 3)).astype(np.uint8), 75, "4:4:4"),
+        (rng.randint(0, 256, (24, 24, 3)).astype(np.uint8), 30, "4:2:0"),
+        (np.clip(rng.normal(128, 60, (33, 50, 3)), 0, 255).astype(np.uint8), 92, "4:2:0"),
+        (np.full((16, 16, 3), 137, dtype=np.uint8), 90, "4:4:4"),
+    ]
+    for img, q, sub in cases:
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q, subsampling=sub))
+        prog_blob = codecs.encode_jpeg(img, quality=q, subsampling=sub, progressive=True)
+        assert np.array_equal(codecs.decode_jpeg(prog_blob), base), (q, sub)
+
+
+def test_jpeg_progressive_handcrafted_spec_stream():
+    """A 4-scan progressive stream assembled byte-by-byte from ITU T.81 G.2
+    rules — independent of encode_jpeg — covering DC first (Al=1), AC first
+    with EOB, DC refinement, and AC refinement with a correction bit:
+    8x8 gray, identity quant, true coefficients DC=26 and zigzag-2 AC=3."""
+    import struct
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table: '0' -> 4 (category of 13)
+    dht_dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([4])
+    # AC table A: '0' -> 0x11 (run 1, size 1), '1' -> 0x00 (EOB)
+    dht_ac_a = bytes([0x10]) + bytes([2] + [0] * 15) + bytes([0x11, 0x00])
+    # AC table B (refinement scan): '0' -> 0x00 (EOB0)
+    dht_ac_b = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+
+    def sos(ss, se, ah, al):
+        return bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC2, sof)
+        + seg(0xC4, dht_dc)
+        # scan 1: DC first, Al=1, diff = 26>>1 = 13 = '1101': bits 0 1101 -> 0b01101111
+        + seg(0xDA, sos(0, 0, 0, 1)) + bytes([0b01101111])
+        # scan 2: AC first, Al=1, zig-2 coef 3>>1=1: sym 0x11 ('0'), sign '1', EOB ('1')
+        + seg(0xC4, dht_ac_a)
+        + seg(0xDA, sos(1, 63, 0, 1)) + bytes([0b01111111])
+        # scan 3: DC refine to Al=0: bit 26&1 = 0
+        + seg(0xDA, sos(0, 0, 1, 0)) + bytes([0b01111111])
+        # scan 4: AC refine to Al=0: EOB0 ('0') then correction bit 3&1 = 1
+        + seg(0xC4, dht_ac_b)
+        + seg(0xDA, sos(1, 63, 1, 0)) + bytes([0b01111111])
+        + b"\xff\xd9"
+    )
+    out = codecs.decode_jpeg(payload)
+    F8 = np.zeros((8, 8))
+    F8[0, 0] = 26.0
+    F8[1, 0] = 3.0  # zigzag index 2 -> raster (1, 0)
+    want = np.clip(np.rint(codecs._DCT8.T @ F8 @ codecs._DCT8 + 128.0), 0, 255)
+    assert (out[:, :, 0] == want.astype(np.uint8)).all()
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
+
+
+def test_jpeg_progressive_in_synth_media(spark):
+    """synth_jpeg_media's i%4==1 rows are progressive; the bit-exact oracle
+    must keep holding through the distributed decode path."""
+    from graph_data_science_spark.operators.multimodal import synth_jpeg_media
+
+    media = synth_jpeg_media(spark, n=12)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    # SOF2 marker present exactly for i % 4 == 1
+    for i, p in payloads.items():
+        assert (b"\xff\xc2" in p) == (i % 4 == 1), i
+    out = extract_features(media, dim=8, fake=False).collect()
+    for r in out:
+        i = r["media_id"]
+        vals = [2 * ((i * 37 + k * 53) % 100) + 20 for k in range(4)]
+        assert abs(r["feature"][0] * 255.0 - sum(vals) / 4.0) < 1e-3, i

@@ -1572,7 +1572,11 @@ def image_features(img: np.ndarray, dim: int) -> list:
 
 
 def audio_features(samples: np.ndarray, rate: int, dim: int) -> list:
-    """RMS, zero-crossing rate, mean, std + amplitude histogram -> dim."""
+    """RMS, zero-crossing rate, mean, std, spectral centroid (normalized to
+    Nyquist) + 4 octave-ish band energy fractions + amplitude histogram ->
+    dim.  The spectral block is a real rfft periodogram, so a pure tone at
+    f0 yields centroid ~ f0/(rate/2) and all its energy in f0's band —
+    closed forms the tests pin."""
     mono = samples.mean(axis=1)
     rms = float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0
     zcr = (
@@ -1580,10 +1584,27 @@ def audio_features(samples: np.ndarray, rate: int, dim: int) -> list:
         if mono.size > 1
         else 0.0
     )
-    hist, _ = np.histogram(mono, bins=max(dim - 4, 2), range=(-1.0, 1.0))
+    if mono.size > 1:
+        spec = np.abs(np.fft.rfft(mono)) ** 2
+        spec[0] = 0.0  # drop DC: centroid/bands describe the AC spectrum
+        freqs = np.fft.rfftfreq(mono.size, d=1.0 / rate)
+        tot = float(spec.sum())
+        centroid = float((freqs * spec).sum() / tot / (rate / 2.0)) if tot > 0 else 0.0
+        # 4 bands split at Nyquist/16, /8, /2 (low, mid-low, mid, high)
+        edges = np.array([0.0, rate / 32.0, rate / 16.0, rate / 4.0, rate / 2.0])
+        bands = [
+            float(spec[(freqs > edges[b]) & (freqs <= edges[b + 1])].sum() / tot)
+            if tot > 0
+            else 0.0
+            for b in range(4)
+        ]
+    else:
+        centroid, bands = 0.0, [0.0] * 4
+    hist, _ = np.histogram(mono, bins=max(dim - 9, 2), range=(-1.0, 1.0))
     hist = hist / max(mono.size, 1)
     feat = np.concatenate([[rms, zcr, float(mono.mean()) if mono.size else 0.0,
-                            float(mono.std()) if mono.size else 0.0], hist])
+                            float(mono.std()) if mono.size else 0.0,
+                            centroid], bands, hist])
     out = np.zeros(dim)
     out[: min(dim, feat.size)] = feat[:dim]
     return [float(v) for v in out]

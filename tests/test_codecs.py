@@ -548,3 +548,18 @@ def test_jpeg_progressive_in_synth_media(spark):
         i = r["media_id"]
         vals = [2 * ((i * 37 + k * 53) % 100) + 20 for k in range(4)]
         assert abs(r["feature"][0] * 255.0 - sum(vals) / 4.0) < 1e-3, i
+
+
+def test_audio_spectral_features_pure_tone():
+    """A pure sine at f0 must put its spectral centroid at f0/Nyquist and
+    its band energy in f0's band — the rfft block is real, not a stub."""
+    rate = 8000
+    t = np.arange(4096) / rate
+    for f0, band_idx in ((100.0, 0), (400.0, 1), (1500.0, 2), (3000.0, 3)):
+        x = np.sin(2 * np.pi * f0 * t)
+        feat = codecs.audio_features(x[:, None], rate, dim=16)
+        centroid = feat[4] * (rate / 2.0)
+        assert abs(centroid - f0) < 5.0, (f0, centroid)
+        bands = feat[5:9]
+        assert bands[band_idx] > 0.99, (f0, bands)
+        assert abs(sum(bands) - 1.0) < 1e-6

@@ -879,7 +879,11 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        res = scc(g)
+        # local_finish_nodes=512 keeps the distributed trim + FW-BW doing the
+        # real decomposition at this sf (~5k nodes); the Multistep serial
+        # finish only mops up the tail residue once it fits, as it would on a
+        # cluster (default threshold 10k is larger than this whole graph).
+        res = scc(g, local_finish_nodes=512)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return res.components.select("id", "comp")

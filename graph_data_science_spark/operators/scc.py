@@ -20,6 +20,19 @@ repeat until no active nodes:
      (root, id) pair frontier.
   4. Remove found SCCs from the active set; repeat.
 
+Plus the Multistep finish (Slota, Rajamanickam, Madduri, IPDPS 2014 "BFS and
+Coloring-Based Parallel Algorithms for Strongly Connected Components"): once
+trim + the first FW-BW pass have removed the giant SCC and the singleton
+tails, the active residue of a web-like graph is a long tail of tiny SCCs
+whose remaining distributed rounds are all scheduling overhead.  The active
+set is SCC-closed (FW-BW only ever removes COMPLETE SCCs), so when it fits
+under `local_finish_nodes` — and its induced edge set under
+`local_finish_edges` — the residue is collected and finished with one
+iterative Tarjan pass on the driver, exactly as the Multistep paper switches
+to its serial phase.  Both guards are explicit; an over-large residue simply
+continues distributed.  The reference itself is a sequential Tarjan variant
+(SccAlgorithm.java), so the local phase is also semantics-identical to it.
+
 Every phase is joins + groupBy aggregations with parquet-checkpointed state;
 convergence counts ride the checkpoint writes (observe) — no extra jobs.
 Output component id = MIN member id (matching WCC's union-by-min convention
@@ -47,11 +60,72 @@ class SccResult:
     metrics: list = field(default_factory=list)
 
 
+def _tarjan_local(node_ids: list, edges: list) -> dict:
+    """Iterative Tarjan over an adjacency dict; comp = min member id.
+
+    Serial phase of the Multistep finish — bounded by the caller's
+    local_finish_nodes/edges guards, never run on unbounded input.
+    """
+    adj: dict = {u: [] for u in node_ids}
+    for s, d in edges:
+        if s in adj and d in adj:
+            adj[s].append(d)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp_of: dict = {}
+    ctr = 0
+    for root in node_ids:
+        if root in index:
+            continue
+        index[root] = low[root] = ctr
+        ctr += 1
+        stack.append(root)
+        on_stack.add(root)
+        work = [(root, iter(adj[root]))]
+        while work:
+            v, it = work[-1]
+            pushed = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = ctr
+                    ctr += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj[w])))
+                    pushed = True
+                    break
+                if w in on_stack and index[w] < low[v]:
+                    low[v] = index[w]
+            if pushed:
+                continue
+            work.pop()
+            if work:
+                u = work[-1][0]
+                if low[v] < low[u]:
+                    low[u] = low[v]
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp_of[w] = m
+    return comp_of
+
+
 def scc(
     graph: LinkGraph,
     max_outer_rounds: int = 50,
     checkpoint_path: Optional[str] = None,
     window: int = 4,
+    local_finish_nodes: int = 10_000,
+    local_finish_edges: int = 1_000_000,
 ) -> SccResult:
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, checkpoint_path)
@@ -134,6 +208,36 @@ def scc(
 
             if n_active == 0:
                 break
+
+            # -- Multistep local finish: the active set is SCC-closed, so a
+            # small residue can be finished serially on the driver (guarded
+            # on BOTH node and induced-edge counts; an over-large residue
+            # falls through and stays distributed).
+            if 0 < local_finish_nodes and n_active <= local_finish_nodes:
+                induced = all_edges.join(
+                    active.withColumnRenamed("id", "src"), "src", "left_semi"
+                ).join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                e_rows = induced.limit(local_finish_edges + 1).collect()
+                if len(e_rows) <= local_finish_edges:
+                    ids = [r["id"] for r in active.collect()]
+                    comp_of = _tarjan_local(ids, [(r["src"], r["dst"]) for r in e_rows])
+                    schema = graph.nodes.select(
+                        "id", F.col("id").alias("comp")
+                    ).schema
+                    assigned_parts.append(
+                        spark.createDataFrame(
+                            [(i, comp_of[i]) for i in ids], schema
+                        )
+                    )
+                    ckpt.log(
+                        outer,
+                        algorithm="scc_local_finish",
+                        rounds=1,
+                        wall_s=time.time() - t0,
+                        nodes=n_active,
+                        edges=len(e_rows),
+                    )
+                    break
 
             edges = (
                 all_edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")

@@ -126,11 +126,14 @@ def _tarjan_scc_sets(edges):
 @settings(**SETTINGS)
 @given(edge_lists)
 def test_scc_matches_tarjan(spark, edges):
+    # local_finish_nodes=0 pins the fully distributed FW-BW path — with the
+    # default Multistep threshold these tiny graphs would finish serially and
+    # the property would only test Tarjan against itself.
     clean = sorted({(a, b) for a, b in edges if a != b})
     if not clean:
         return
     g = LinkGraph.from_edges(spark, clean)
-    rows = scc(g).components.collect()
+    rows = scc(g, local_finish_nodes=0).components.collect()
     got = {}
     for r in rows:
         got.setdefault(r["comp"], set()).add(r["id"])

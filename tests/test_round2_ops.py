@@ -76,6 +76,36 @@ def test_scc_dag_is_all_singletons(spark):
     assert comp == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_scc_multistep_local_finish_parity(spark):
+    # pseudo-random graph with a big cycle + chords: distributed-only,
+    # hybrid (small threshold: FW-BW first, serial tail), and serial-heavy
+    # (threshold > |V|) must agree exactly.
+    n = 60
+    edges = [(i, (i + 1) % n) for i in range(0, n, 2)] + [
+        (i, (i * 11 + 5) % n) for i in range(n)
+    ]
+    edges = sorted({(a, b) for a, b in edges if a != b})
+    g = _graph(spark, edges)
+    dist = {r["id"]: r["comp"] for r in scc(g, local_finish_nodes=0).components.collect()}
+    hybrid = {r["id"]: r["comp"] for r in scc(g, local_finish_nodes=10).components.collect()}
+    serial = {r["id"]: r["comp"] for r in scc(g, local_finish_nodes=n + 1).components.collect()}
+    assert dist == hybrid == serial
+
+
+def test_scc_local_finish_edge_guard_falls_through(spark):
+    # edge cap of 1 refuses the collect; the run must stay distributed and
+    # still produce the right answer.
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3)])
+    comp = {
+        r["id"]: r["comp"]
+        for r in scc(
+            g, local_finish_nodes=100, local_finish_edges=1
+        ).components.collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == comp[4] == 3
+
+
 def test_scc_matches_mutual_reachability(spark):
     # pseudo-random functional graph + some extra edges; verify vs closure
     import itertools

@@ -341,6 +341,17 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.lsh_candidate_pairs(docs, bands=4, rows_per_band=4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline over the dup-injected corpus: MinHash-LSH
+    candidates -> n-gram Jaccard verify >= 0.5 -> WCC over verified pairs ->
+    (doc_id, cluster = min component member, keep = is-canonical).  The
+    oracle replays every stage in SQL (md5 minhash bands, gram intersection,
+    min-label propagation to fixpoint)."""
+    docs = _documents_with_dups(spark, sf_dir)
+    out = dedup_ops.dedup_clusters(docs, threshold=0.5, bands=4, rows_per_band=4)
+    return out.select("doc_id", "cluster", "keep")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return dedup_ops.simhash_signatures(docs, bits=16)
@@ -432,7 +443,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         exact = ann_ops.cosine_topk(
-            emb, [r["vec_id"] for r in emb.select("vec_id").collect()], k=5
+            emb, emb.select("vec_id"), k=5
         ).select("query_id", "neighbor_id")
         approx = ann_ops.knn(emb, k=5, rounds=2).select("query_id", "neighbor_id")
         n_exact = exact.count()
@@ -1406,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_functions": q_similarity_functions,
         "pregel_reach": q_pregel_reach,
         "random_walks": q_random_walks,
+        # new in round 4: full fuzzy-dedup pipeline (LSH -> verify -> WCC)
+        "dedup_clusters": q_dedup_clusters,
         # -- stable-core rotation (triple-green) ---------------------------
         "pagerank": q_pagerank,
         "wcc": q_wcc,
@@ -1418,9 +1431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
+        # -- parked triple-green (past the driver's 50-row window) ---------
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
-        # -- parked triple-green (past the driver's 50-row window) ---------
         "language_id": q_language_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "scalers": q_scalers,
@@ -2262,6 +2275,54 @@ banded AS ({bands_sql})
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
 WHERE a.doc_id < b.doc_id"""
+
+    sqls["dedup_clusters"] = f"""WITH RECURSIVE {SQL_DOCS_DUP},
+words AS (SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM docs_dup),
+sig AS (SELECT doc_id,
+{mh16}
+FROM words GROUP BY doc_id),
+banded AS ({bands_sql}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+toks AS (SELECT doc_id, {SQL_TOKENS} AS ts FROM docs_dup),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS ngram
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+),
+gcounts AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+ginter AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS i
+  FROM cand c
+  JOIN grams g1 ON g1.doc_id = c.doc1
+  JOIN grams g2 ON g2.doc_id = c.doc2 AND g2.ngram = g1.ngram
+  GROUP BY 1, 2
+),
+verified AS MATERIALIZED (
+  SELECT gi.doc1 AS src, gi.doc2 AS dst
+  FROM ginter gi
+  JOIN gcounts c1 ON c1.doc_id = gi.doc1
+  JOIN gcounts c2 ON c2.doc_id = gi.doc2
+  WHERE gi.i::DOUBLE / (c1.ng + c2.ng - gi.i) >= 0.5
+),
+ids AS (SELECT DISTINCT doc_id AS id FROM docs_dup),
+sym AS (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM verified UNION ALL SELECT dst AS src, src AS dst FROM verified)),
+mlp(iter, id, comp) AS (
+  SELECT 0, id, id FROM ids
+  UNION ALL
+  SELECT p.iter + 1, p.id, LEAST(p.comp, COALESCE(m.nbr_min, p.comp))
+  FROM (SELECT * FROM mlp WHERE iter < {WCC_SQL_ROUNDS}) p
+  LEFT JOIN (
+    SELECT s.dst AS id, MIN(p2.comp) AS nbr_min
+    FROM mlp p2 JOIN sym s ON s.src = p2.id
+    GROUP BY s.dst
+  ) m ON m.id = p.id
+)
+SELECT id AS doc_id, comp AS cluster, comp = id AS keep
+FROM mlp WHERE iter = {WCC_SQL_ROUNDS}"""
 
     # simhash: replay the exact bit arithmetic (md5 hex digit -> bit votes)
     votes = []

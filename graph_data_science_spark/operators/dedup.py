@@ -288,3 +288,55 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    candidate_pairs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """End-to-end fuzzy-dedup pipeline: MinHash-LSH candidates -> n-gram
+    Jaccard verification >= threshold -> connected components over the
+    verified near-dup graph -> per-document (doc_id, cluster, keep).
+
+    cluster = min doc_id of the document's near-duplicate component (its own
+    id when it has no verified near-dup); keep is True exactly for the
+    canonical (min-id) member — the row a training pipeline retains.  This is
+    the standard corpus-dedup composition (candidate generation, verify,
+    transitive clustering, canonical selection) expressed entirely on the
+    engine's own operators.
+
+    100-TB shape: candidates come from the band-bucket join (never
+    all-pairs); verify shuffles |candidates| packed gram-set rows; the
+    component step runs WCC's checkpointed min-label propagation on the
+    VERIFIED pair graph only (true near-dups << candidates); the final join
+    is doc_ids x components on the id key.
+    """
+    from graph_data_science_spark.operators.graph import LinkGraph
+    from graph_data_science_spark.operators.wcc import wcc
+
+    if candidate_pairs is None:
+        candidate_pairs = lsh_candidate_pairs(
+            docs, bands=bands, rows_per_band=rows_per_band
+        )
+    verified = ngram_jaccard_pairs(docs, n=n, candidate_pairs=candidate_pairs).where(
+        F.col("jaccard") >= threshold
+    )
+    ids = docs.select(F.col(ID_COL).cast("long").alias("id")).distinct()
+    g = LinkGraph.from_edges(
+        docs.sparkSession,
+        verified.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst")),
+        nodes=ids,
+    )
+    comp = wcc(g).components
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            F.col("id").alias(ID_COL),
+            F.coalesce("comp", F.col("id")).alias("cluster"),
+        )
+        .withColumn("keep", F.col("cluster") == F.col(ID_COL))
+    )

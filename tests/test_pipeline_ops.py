@@ -79,6 +79,25 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_dedup_clusters_end_to_end(self, spark):
+        # 1=2 exact dups, 3 near-dup of 1 (jaccard >= 0.5), 4 unrelated,
+        # 5 near-dup of 3 but not of 1 -> transitivity puts 1,2,3,5 in one
+        # cluster with canonical 1; 4 stays a kept singleton.
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = "the quick brown fox jumps over the lazy cat again and again"
+        near2 = "the quick brown fox jumps over the lazy cat again and once"
+        d = spark.createDataFrame(
+            [(1, base), (2, base), (3, near), (4, "completely different words entirely here"), (5, near2)],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in dedup.dedup_clusters(d, threshold=0.5).collect()}
+        assert rows[1]["cluster"] == rows[2]["cluster"] == 1
+        assert rows[4]["cluster"] == 4 and rows[4]["keep"]
+        assert rows[1]["keep"] and not rows[2]["keep"]
+        # every cluster keeps exactly its min member
+        for r in rows.values():
+            assert r["keep"] == (r["cluster"] == r["doc_id"])
+
     def test_minhash_estimate_close_to_true_jaccard(self, spark):
         a = "the quick brown fox jumps over the lazy dog again and again"
         b = "the quick brown fox jumps over the lazy cat again and again"

@@ -51,6 +51,10 @@ class PageRankConfig:
     orientation: Orientation = Orientation.NATURAL
     checkpoint_path: str | None = None
     checkpoint_every: int = 1
+    # post-scale final scores (RankConfig#scaler, algo/.../pagerank/
+    # PageRankConfig.java): one of scaling.VARIANTS — one extra global
+    # aggregate + projection, applied lazily on the converged result
+    scaler: str = "NONE"
 
 
 @dataclass
@@ -238,6 +242,10 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
                 break
 
     scores = state.select("id", F.col("rank").alias("score"))
+    if cfg.scaler and cfg.scaler.upper() != "NONE":
+        from graph_data_science_spark.operators.scaling import scale_property
+
+        scores = scale_property(scores, "score", cfg.scaler)
     return CentralityResult(scores, ran, converged, ckpt.metrics)
 
 
@@ -339,4 +347,8 @@ def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> Centrali
                 break
 
     scores = state.select("id", F.col("rank").alias("score"))
+    if cfg.scaler and cfg.scaler.upper() != "NONE":
+        from graph_data_science_spark.operators.scaling import scale_property
+
+        scores = scale_property(scores, "score", cfg.scaler)
     return CentralityResult(scores, ran, converged, ckpt.metrics)

@@ -58,6 +58,29 @@ class TestPageRank:
         res = page_rank(wiki_graph(spark), PageRankConfig(tolerance=0, max_iterations=41))
         assert_close(scores_by_letter(res), EXPECTED)
 
+    def test_scaler_option_matches_standalone(self, spark):
+        # RankConfig#scaler: post-scale converged scores; must equal running
+        # the standalone scaler over the unscaled result.
+        from graph_data_science_spark.operators.scaling import scale_property
+
+        cfg = PageRankConfig(tolerance=0, max_iterations=20)
+        plain = page_rank(wiki_graph(spark), cfg).scores
+        for variant in ("L1NORM", "MINMAX", "STDSCORE"):
+            scaled = page_rank(
+                wiki_graph(spark),
+                PageRankConfig(tolerance=0, max_iterations=20, scaler=variant),
+            ).scores
+            want = {
+                r["id"]: r["score"]
+                for r in scale_property(plain, "score", variant).collect()
+            }
+            got = {r["id"]: r["score"] for r in scaled.collect()}
+            assert_close(got, want, tol=1e-9)
+        l1 = {r["id"]: r["score"] for r in page_rank(
+            wiki_graph(spark), PageRankConfig(tolerance=0, max_iterations=20, scaler="L1NORM")
+        ).scores.collect()}
+        assert sum(l1.values()) == pytest.approx(1.0, abs=1e-9)
+
     def test_personalized_sources_a_e(self, spark):
         # PageRankTest.java:141-166
         expected = {

@@ -46,12 +46,81 @@ def extract_link_pairs(pages: DataFrame) -> DataFrame:
     )
 
 
-def build_link_graph(pages: DataFrame, id_map: DataFrame | None = None) -> LinkGraph:
+def salted_hub_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    hub_threshold: int = 1_000_000,
+    buckets: int = 32,
+) -> DataFrame:
+    """Inner join with EXPLICIT differentiated salting for hub skew.
+
+    A mega-hub href (pointed at by a large fraction of the corpus) funnels
+    its entire probe row group through ONE reducer of a plain key join.  AQE
+    skew-join splits oversized partitions at runtime, but only within what
+    one map stage produced; the north rule asks for explicit salted
+    repartitioning, which also covers the non-AQE / streaming-shuffle cases:
+
+    1. heavy keys = probe-side frequency > hub_threshold (one aggregation;
+       by definition of "hub" this set is small, so it broadcasts);
+    2. probe rows of heavy keys get salt = xxhash64(row nonce) % buckets —
+       spreading each hub across `buckets` reducers; light rows salt 0;
+    3. build rows of heavy keys are replicated once per bucket (bounded:
+       |heavy| x buckets extra rows, NEVER a full build-side blowup);
+       light rows keep salt 0;
+    4. equi-join on (key, salt) — identical result set to the plain join.
+    """
+    heavy = (
+        probe.groupBy(key)
+        .count()
+        .where(F.col("count") > hub_threshold)
+        .select(key, F.lit(True).alias("_heavy"))
+    )
+    # deterministic row salt (task-retry safe): hash of the probe row's own
+    # columns — a hub's probe rows differ in their other columns, so the hub
+    # spreads across buckets; identical duplicate rows share a bucket, which
+    # only matters if the duplicates ARE the skew (not the hub pattern).
+    row_hash = F.xxhash64(*[F.col(c) for c in probe.columns])
+    salted_probe = (
+        probe.join(F.broadcast(heavy), key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_heavy").isNotNull(), F.pmod(row_hash, F.lit(buckets))
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_heavy")
+    )
+    salted_build = (
+        build.join(F.broadcast(heavy), key, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_heavy").isNotNull(),
+                F.sequence(F.lit(0), F.lit(buckets - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_heavy", "_salts")
+    )
+    return salted_probe.join(salted_build, [key, "_salt"]).drop("_salt")
+
+
+def build_link_graph(
+    pages: DataFrame,
+    id_map: DataFrame | None = None,
+    hub_salt_threshold: int | None = 1_000_000,
+    salt_buckets: int = 32,
+) -> LinkGraph:
     """pages(url, warc_ts, html, text, lang) -> LinkGraph.
 
     - dangling hrefs (no matching corpus url) are dropped by the inner join;
     - (src,dst) pairs are deduped = Aggregation.SINGLE semantics;
-    - nodes carry the original `url` as a property (toOriginalNodeId analog).
+    - nodes carry the original `url` as a property (toOriginalNodeId analog);
+    - the href->id join (the hub-skewed side: every link TO a mega-hub is one
+      probe row with the hub's href) goes through salted_hub_join when
+      `hub_salt_threshold` is set — pass None to fall back to the plain join
+      (AQE skew-split only).
     """
     if id_map is None:
         id_map = build_id_map(pages)
@@ -60,10 +129,15 @@ def build_link_graph(pages: DataFrame, id_map: DataFrame | None = None) -> LinkG
     pairs = extract_link_pairs(pages)
     src_ids = id_map.select(F.col("url"), F.col("id").alias("src"))
     dst_ids = id_map.select(F.col("url").alias("href"), F.col("id").alias("dst"))
+    with_src = pairs.join(src_ids, "url")
+    if hub_salt_threshold is not None:
+        with_dst = salted_hub_join(
+            with_src, dst_ids, "href", hub_salt_threshold, salt_buckets
+        )
+    else:
+        with_dst = with_src.join(dst_ids, "href")  # inner: dangling dropped
     edges = (
-        pairs.join(src_ids, "url")
-        .join(dst_ids, "href")  # inner: dangling links dropped
-        .select("src", "dst")
+        with_dst.select("src", "dst")
         .distinct()  # Aggregation.SINGLE
         .withColumn("weight", F.lit(1.0))
     )

@@ -111,6 +111,47 @@ class TestGraphBuild:
         pairs = extract_link_pairs(pages)
         assert pairs.count() > pairs.distinct().count()
 
+    def test_salted_hub_join_parity_and_spread(self, spark):
+        from graph_data_science_spark.sources.edges import salted_hub_join
+
+        # probe: 2000 rows pointing at hub href 'H' + 50 light rows; build:
+        # one id per href.  Salted join must equal the plain join exactly,
+        # and the hub's probe rows must land in >1 shuffle partition.
+        probe = spark.range(2000).select(
+            F.concat(F.lit("src"), "id").alias("url"), F.lit("H").alias("href")
+        ).unionByName(
+            spark.range(50).select(
+                F.concat(F.lit("s"), "id").alias("url"),
+                F.concat(F.lit("L"), "id").alias("href"),
+            )
+        )
+        build = (
+            probe.select("href").distinct()
+            .withColumn("dst", F.xxhash64("href"))
+        )
+        plain = probe.join(build, "href").select("url", "dst")
+        salted = salted_hub_join(probe, build, "href", hub_threshold=100, buckets=8)
+        assert sorted(map(tuple, salted.select("url", "dst").collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        spread = (
+            salted_hub_join(probe, build, "href", hub_threshold=100, buckets=8)
+            .where(F.col("href") == "H")
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert spread > 1
+
+    def test_build_link_graph_salted_matches_plain(self, spark):
+        pages = synth_web_pages(spark, CorpusConfig(n_pages=200)).cache()
+        plain = build_link_graph(pages, hub_salt_threshold=None)
+        # threshold 1: every href is "heavy" -> maximal salting, same edges
+        salted = build_link_graph(pages, hub_salt_threshold=1, salt_buckets=4)
+        a = sorted(map(tuple, plain.edges.select("src", "dst").collect()))
+        b = sorted(map(tuple, salted.edges.select("src", "dst").collect()))
+        assert a == b
+
     def test_catalog_roundtrip(self, spark, tmp_path):
         pages = synth_web_pages(spark, CorpusConfig(n_pages=80))
         g = build_link_graph(pages)

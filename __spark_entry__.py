@@ -20,6 +20,7 @@ make identical cuts.  Iterative algorithms run a FIXED number of supersteps
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -769,6 +770,59 @@ def q_similarity_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming crawl ingest drained end-to-end: the events table
+    is replayed as a file-source edge stream (src=user_id, dst=event_id%997,
+    event time ts), watermarked + deduped in flight, appended as idempotent
+    per-micro-batch delta parquet, then compacted into the atomic snapshot
+    (streaming/ingest.py).  availableNow makes the drain deterministic; the
+    snapshot after compaction is exactly the batch-distinct edge set, so the
+    oracle is plain SQL over events."""
+    import shutil
+    import tempfile
+
+    from graph_data_science_spark.streaming import (
+        compact_snapshot,
+        ingest_edge_stream,
+        read_edge_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edge_events = events.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 997).alias("dst"),
+        "ts",
+    )
+    work = tempfile.mkdtemp(prefix="gds-stream-q-")
+    try:
+        inp = os.path.join(work, "in")
+        edge_events.repartition(8).write.parquet(inp)
+        q = ingest_edge_stream(
+            read_edge_stream(spark, inp),
+            deltas_path=os.path.join(work, "deltas"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            watermark="60 minutes",
+        )
+        q.awaitTermination()
+        snap = compact_snapshot(
+            spark, os.path.join(work, "deltas"), os.path.join(work, "snapshot")
+        )
+        return (
+            snap.agg(
+                F.count("*").alias("n_edges"),
+                F.countDistinct("src").alias("n_src"),
+                F.countDistinct("dst").alias("n_dst"),
+                F.sum(F.col("src") * 100000 + F.col("dst"))
+                .cast("long")
+                .alias("checksum"),
+            )
+            # materialize before the workdir vanishes (snap reads from it)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality from sampled sources (id % 50 == 0)."""
     _tune(spark)
@@ -1419,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         # new in round 4: full fuzzy-dedup pipeline (LSH -> verify -> WCC)
         "dedup_clusters": q_dedup_clusters,
+        # new in round 4: Structured Streaming ingest drained availableNow
+        "streaming_ingest": q_streaming_ingest,
         # -- stable-core rotation (triple-green) ---------------------------
         "pagerank": q_pagerank,
         "wcc": q_wcc,
@@ -2334,6 +2390,14 @@ FROM mlp WHERE iter = {WCC_SQL_ROUNDS}"""
     sim_expr = " + ".join(
         f"CASE WHEN v{p} >= 0 THEN {2 ** (16 - 1 - p)} ELSE 0 END" for p in range(16)
     )
+    # streaming ingest: after the availableNow drain + compaction the
+    # snapshot is exactly the batch-distinct derived edge set
+    sqls["streaming_ingest"] = """WITH e AS (
+  SELECT DISTINCT user_id AS src, event_id % 997 AS dst FROM events)
+SELECT COUNT(*) AS n_edges, COUNT(DISTINCT src) AS n_src,
+       COUNT(DISTINCT dst) AS n_dst,
+       CAST(SUM(src * 100000 + dst) AS BIGINT) AS checksum FROM e"""
+
     sqls["simhash"] = f"""WITH words AS (
   SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM documents
 ),

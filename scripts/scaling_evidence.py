@@ -1,8 +1,15 @@
 """Scaling evidence: the same PageRank job at local[8] and local[32],
 sampled in alternation to control for noisy-neighbor variance on shared
-hosts; writes BENCH.md with every sample plus steady-state medians.
+hosts.  Samples accumulate in scaling_samples.jsonl (one JSON object per
+run, tagged with the build round) so repeated invocations POOL evidence
+instead of discarding it; BENCH.md is re-rendered from the pool each time
+with both best-sample and median-of-medians efficiency.
 
-Usage: python scripts/scaling_evidence.py [samples_per_level]
+Usage:
+  python scripts/scaling_evidence.py [samples_per_level] [K] [replicate]
+      collect N new alternated samples per level, then re-render BENCH.md
+  python scripts/scaling_evidence.py 0
+      re-render BENCH.md from the existing pool only
 """
 
 import json
@@ -12,6 +19,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+POOL = os.path.join(REPO, "scaling_samples.jsonl")
+SECTIONS = os.path.join(REPO, "scripts", "bench_sections.md")
+ROUND = 4  # tag new samples; the render pools only the current round
 
 WORKER = r'''
 import sys, statistics
@@ -66,68 +76,107 @@ def run_sample(cpus: int, k: int = 4, rep: int = 64) -> dict:
     raise RuntimeError(f"no sample for cpus={cpus}: {out.stderr[-2000:]}")
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    samples = {8: [], 32: []}
-    for _ in range(n):
-        for cpus in (8, 32):
-            s = run_sample(cpus, k, rep)
-            samples[cpus].append(s)
-            print(f"local[{cpus}]: median={s['median_superstep_s']}s "
-                  f"steady_eps={s['steady_eps']:,}")
+def load_pool() -> list[dict]:
+    if not os.path.exists(POOL):
+        return []
+    with open(POOL) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
 
-    best8 = min(s["median_superstep_s"] for s in samples[8])
-    best32 = min(s["median_superstep_s"] for s in samples[32])
-    eff = (best8 / best32) / 4.0
+
+def render(pool: list[dict]) -> None:
+    cur = [s for s in pool if s.get("round") == ROUND]
+    samples = {8: [s for s in cur if s["cpus"] == 8],
+               32: [s for s in cur if s["cpus"] == 32]}
+    if not samples[8] or not samples[32]:
+        raise SystemExit("pool has no current-round samples at both levels")
+    meds8 = sorted(s["median_superstep_s"] for s in samples[8])
+    meds32 = sorted(s["median_superstep_s"] for s in samples[32])
+    best8, best32 = meds8[0], meds32[0]
+    med8 = statistics.median(meds8)
+    med32 = statistics.median(meds32)
+    eff_best = (best8 / best32) / 4.0
+    eff_med = (med8 / med32) / 4.0
     edges = samples[8][0]["edges"]
-    print(json.dumps({"best_median_8": best8, "best_median_32": best32,
-                      "scaling_efficiency_steady": round(eff, 3)}))
+    print(json.dumps({
+        "samples_per_level": [len(meds8), len(meds32)],
+        "best_median_8": best8, "best_median_32": best32,
+        "scaling_efficiency_best": round(eff_best, 3),
+        "pool_median_8": med8, "pool_median_32": med32,
+        "scaling_efficiency_median": round(eff_med, 3),
+    }))
 
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("# BENCH — scaling evidence (local[8] vs local[32])\n\n")
         f.write(
             f"Same PageRank job (tol 1e-6, lineitem-derived link graph "
-            f"replicated {samples[8][0].get('replicate', 64)}x = {edges:,} edges, checkpoint window K="
+            f"replicated {samples[8][0].get('replicate', 64)}x = "
+            f"{edges:,} edges, checkpoint window K="
             f"{samples[8][0].get('ckpt_every', 1)} supersteps/barrier, "
-            f"{len(samples[8])} samples per "
-            "level, levels alternated to control for shared-host noise).\n"
+            f"{len(meds8)}+{len(meds32)} samples, levels alternated to "
+            "control for shared-host noise).\n"
             "Sandbox proxy for the north rule's N vs 4N executor clusters.\n\n"
         )
         f.write("| metric | local[8] | local[32] | efficiency (per 4x cores) |\n")
         f.write("|---|---|---|---|\n")
         f.write(
-            f"| steady-state median superstep wall (best sample) | {best8}s | "
-            f"{best32}s | {round(eff, 3)} |\n"
+            f"| steady-state superstep wall, median of all samples | {med8}s | "
+            f"{med32}s | **{round(eff_med, 3)}** |\n"
         )
         f.write(
-            f"| steady-state edges/sec/superstep (best sample) | "
-            f"{round(edges/best8):,} | {round(edges/best32):,} | |\n\n"
+            f"| steady-state superstep wall, best sample | {best8}s | "
+            f"{best32}s | {round(eff_best, 3)} |\n"
+        )
+        f.write(
+            f"| steady-state edges/sec/superstep (pool median) | "
+            f"{round(edges/med8):,} | {round(edges/med32):,} | |\n\n"
         )
         f.write("All samples (median steady-state superstep seconds):\n\n")
         for cpus in (8, 32):
             meds = [s["median_superstep_s"] for s in samples[cpus]]
-            f.write(f"- local[{cpus}]: {meds}\n")
+            f.write(f"- local[{cpus}]: {sorted(meds)}\n")
         f.write(
-            "\nContext for the gap to 1.0: an Amdahl fit over the clean "
-            "samples gives a ~1s/superstep serial floor (driver job "
-            "scheduling + per-superstep checkpoint commit) that a "
-            "multi-executor cluster amortizes over far larger per-superstep "
-            "volumes; a pure-CPU multiprocessing baseline on this box tops "
-            "out at ~0.72 efficiency for 8->32 vCPUs (SMT sharing), bounding "
-            "any engine's measurable efficiency here.  The K-superstep "
-            "checkpoint window (pagerank.py checkpoint_every) amortizes that "
-            "serial floor across K supersteps per barrier.  Steady-state "
-            "medians exclude the first checkpoint window (one-time JIT + "
-            "shuffle warmup that long-running jobs amortize).\n\n"
+            "\nThe median-of-medians row is the honest headline (round 3 "
+            "reported best-sample 0.725, which rode one lucky local[32] "
+            "outlier; the pooled median is robust to that).  Context for the "
+            "gap to 1.0: an Amdahl fit over the clean samples gives a "
+            "~1s/superstep serial floor (driver job scheduling + "
+            "per-superstep checkpoint commit) that a multi-executor cluster "
+            "amortizes over far larger per-superstep volumes; a pure-CPU "
+            "multiprocessing baseline on this box tops out at ~0.72 "
+            "efficiency for 8->32 vCPUs (SMT sharing — the 4x thread step "
+            "shares 16 physical cores), bounding any engine's measurable "
+            "efficiency here.  The K-superstep checkpoint window "
+            "(pagerank.py checkpoint_every) amortizes that serial floor "
+            "across K supersteps per barrier.  Steady-state medians exclude "
+            "the first checkpoint window (one-time JIT + shuffle warmup that "
+            "long-running jobs amortize).\n\n"
         )
-        f.write("Raw samples:\n\n```json\n")
+        f.write("Raw samples (pooled across this round's runs — "
+                "`scaling_samples.jsonl`):\n\n```json\n")
         for cpus in (8, 32):
             for s in samples[cpus]:
                 f.write(json.dumps(s) + "\n")
         f.write("```\n")
+        if os.path.exists(SECTIONS):
+            f.write("\n")
+            with open(SECTIONS) as sec:
+                f.write(sec.read())
     print("wrote BENCH.md")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 192
+    for _ in range(n):
+        for cpus in (8, 32):
+            s = run_sample(cpus, k, rep)
+            s["round"] = ROUND
+            with open(POOL, "a") as f:
+                f.write(json.dumps(s) + "\n")
+            print(f"local[{cpus}]: median={s['median_superstep_s']}s "
+                  f"steady_eps={s['steady_eps']:,}")
+    render(load_pool())
 
 
 if __name__ == "__main__":

@@ -823,6 +823,79 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank CONTRACT (kmeans-style: float fixpoints of two
+    different iteration paths are not SQL-replayable, so the contract IS the
+    oracle): after new crawl edges arrive, re-ranking seeded with the old
+    converged scores (PageRankConfig.seed_ranks — residual iteration) must
+    (1) converge, (2) in no more supersteps than a cold start on the updated
+    graph, (3) to the same fixpoint within the 2*tol/(1-d) band two
+    tol-converged runs can legitimately differ by."""
+    _tune(spark)
+    tol, band = 3e-4, 2 * 3e-4 / 0.15
+    cfg = dict(tolerance=tol, max_iterations=60, checkpoint_every=4)
+    g1 = _dense_graph(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # a sparse crawl delta: ~2% of lineitem rows contribute new links
+    extra = li.where(F.col("l_orderkey") % 50 == 0).select(
+        (F.col("l_partkey") % N1).alias("src"),
+        ((F.col("l_suppkey") * 7) % N1).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    ).where(F.col("src") != F.col("dst"))
+    g2 = LinkGraph.from_edges(
+        spark,
+        g1.edges.unionByName(extra),
+        aggregation=Aggregation.SINGLE,
+    )
+    old = pr_ops.page_rank(g1, pr_ops.PageRankConfig(**cfg))
+    cold = pr_ops.page_rank(g2, pr_ops.PageRankConfig(**cfg))
+    warm = pr_ops.page_rank(
+        g2, pr_ops.PageRankConfig(**cfg, seed_ranks=old.scores)
+    )
+    w = warm.scores.select("id", F.col("score").alias("w"))
+    c = cold.scores.select("id", F.col("score").alias("c"))
+    max_diff = (
+        w.join(c, "id").agg(F.max(F.abs(F.col("w") - F.col("c")))).first()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                bool(old.did_converge and cold.did_converge and warm.did_converge),
+                bool(warm.ran_iterations <= cold.ran_iterations),
+                bool(max_diff <= band),
+            )
+        ],
+        "converged_all boolean, warm_not_slower boolean, parity_within_band boolean",
+    )
+
+
+def q_bucketed_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed graph storage roundtrip (sources/bucketed.py — the CSR-layout
+    analog): the dense graph is persisted with bucketBy(16, src), loaded
+    back, and out-degree computed THROUGH the bucketed tables; src-keyed
+    aggregation on the loaded edges runs with zero Exchange (asserted in
+    tests/test_bucketed.py).  Result is identical to degree_out, so the
+    oracle is the same SQL."""
+    from graph_data_science_spark.sources.bucketed import (
+        drop_bucketed,
+        load_bucketed,
+        save_bucketed,
+    )
+
+    g = _dense_graph(spark, sf_dir)
+    save_bucketed(g, "q_bstore", buckets=16)
+    try:
+        bg = load_bucketed(spark, "q_bstore")
+        # degree over the bucketed edges + the full node frame for 0-degree rows
+        return (
+            deg_ops.degree_centrality(bg)
+            .select("id", F.round("score", 6).alias("score"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        drop_bucketed(spark, "q_bstore")
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality from sampled sources (id % 50 == 0)."""
     _tune(spark)
@@ -1475,6 +1548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         # new in round 4: Structured Streaming ingest drained availableNow
         "streaming_ingest": q_streaming_ingest,
+        # new in round 4: bucketed (CSR-analog) storage roundtrip
+        "bucketed_storage": q_bucketed_storage,
+        # new in round 4: warm-started incremental re-rank contract
+        "pagerank_incremental": q_pagerank_incremental,
         # -- stable-core rotation (triple-green) ---------------------------
         "pagerank": q_pagerank,
         "wcc": q_wcc,
@@ -2143,6 +2220,15 @@ def oracle_sql() -> dict[str, str]:
 d AS (SELECT src, COUNT(*)::DOUBLE AS cnt FROM edges GROUP BY src)
 SELECT n.id, ROUND(COALESCE(d.cnt, 0.0), 6) AS score
 FROM nodes n LEFT JOIN d ON d.src = n.id"""
+
+    # bucketed storage roundtrip returns exactly the out-degree result
+    sqls["bucketed_storage"] = sqls["degree_out"]
+
+    # incremental pagerank is a contract row (two float iteration paths)
+    sqls["pagerank_incremental"] = (
+        "SELECT TRUE AS converged_all, TRUE AS warm_not_slower,"
+        " TRUE AS parity_within_band"
+    )
 
     sqls["degree_in_weighted"] = f"""WITH {SQL_WEDGES}, {SQL_WNODES},
 d AS (SELECT dst, SUM(CASE WHEN weight > 0 THEN weight ELSE 0 END) AS s

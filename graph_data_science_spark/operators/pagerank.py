@@ -55,6 +55,16 @@ class PageRankConfig:
     # PageRankConfig.java): one of scaling.VARIANTS — one extra global
     # aggregate + projection, applied lazily on the converged result
     scaler: str = "NONE"
+    # warm start for incremental recompute (the streaming-snapshot loop:
+    # ingest new crawl edges -> re-rank seeded with the previous converged
+    # scores).  A DataFrame (id, rank|score); nodes absent from it start at
+    # the cold-start value.  The loop then iterates on the RESIDUAL
+    # r_esidual = init + d*M^T r0 - r0, which converges to the same unique
+    # fixpoint as a cold start — in far fewer supersteps when the graph
+    # changed little.  Residuals can be negative, so seeded runs gate and
+    # count convergence on |delta| (identical semantics when unseeded:
+    # cold-start deltas are nonnegative).
+    seed_ranks: DataFrame | None = None
 
 
 @dataclass
@@ -124,6 +134,9 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
             source_nodes=cfg.source_nodes,
             weighted=cfg.weighted,
             orientation=str(cfg.orientation),
+            # seeded and unseeded runs must not resume each other's
+            # checkpoints; distinct seeds should use distinct paths
+            seeded=cfg.seed_ranks is not None,
         )
     ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path, fingerprint=fp)
     alpha = 1.0 - cfg.damping_factor
@@ -154,6 +167,29 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
         state = ckpt.load(resumed)
         start_t = resumed
         ckpt.log(resumed, algorithm="pagerank", resumed_from=resumed)
+    elif cfg.seed_ranks is not None:
+        # warm start: one Jacobi step from the seed, then iterate on the
+        # residual.  rank_0 = init + d*M^T r0 (the seed pushed through one
+        # superstep) and delta_0 = rank_0 - r0; the delta-push loop then adds
+        # sum_{k>=1} (dM)^k delta_0, so rank converges to the unique fixpoint
+        # (I - dM)^-1 init regardless of the seed's quality.
+        rank_col = "score" if "score" in cfg.seed_ranks.columns else "rank"
+        r0 = graph.nodes.join(
+            cfg.seed_ranks.select("id", F.col(rank_col).alias("_seed")), "id", "left"
+        ).select("id", F.coalesce("_seed", init).alias("r0"))
+        msg = (
+            r0.hint("shuffle_hash")
+            .join(shares, r0["id"] == shares["src"])
+            .groupBy("dst")
+            .agg((F.lit(d) * F.sum(F.col("r0") * F.col("share"))).alias("m"))
+            .select(F.col("dst").alias("id"), "m")
+        )
+        state = r0.join(msg, "id", "left").select(
+            "id",
+            (init + F.coalesce("m", F.lit(0.0))).alias("rank"),
+            (init + F.coalesce("m", F.lit(0.0)) - F.col("r0")).alias("delta"),
+        )
+        state = ckpt.checkpoint(state, 0)
     else:
         state = graph.nodes.select("id", init.alias("rank"), init.alias("delta"))
         state = ckpt.checkpoint(state, 0)
@@ -191,7 +227,10 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
             # SHUFFLE_HASH: broadcasting per-superstep node state is a serial
             # driver bottleneck (and impossible at 10^12 nodes); sort-merge
             # would re-sort the edge stream every superstep.
-            senders = prev.where(F.col("delta") > gate).hint("shuffle_hash")
+            # |delta|: seeded warm starts iterate on a residual that can be
+            # negative at nodes whose seed overshot; unseeded runs only ever
+            # produce nonnegative deltas, so abs() changes nothing there.
+            senders = prev.where(F.abs(F.col("delta")) > gate).hint("shuffle_hash")
             delta = (
                 senders.join(shares, senders["id"] == shares["src"])
                 .groupBy("dst")
@@ -225,7 +264,7 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
                 new_state = new_state.observe(
                     obs,
                     F.sum(
-                        (F.col("delta") > cfg.tolerance).cast("long")
+                        (F.abs(F.col("delta")) > cfg.tolerance).cast("long")
                     ).alias("active"),
                 )
             state = ckpt.checkpoint(new_state, t)

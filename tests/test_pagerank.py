@@ -262,3 +262,83 @@ class TestEigenvector:
             PageRankConfig(tolerance=0.1, max_iterations=10, source_nodes=[m["d"]]),
         )
         assert_close(scores_by_letter(res, EIG_LETTERS), expected)
+
+
+class TestWarmStart:
+    """seed_ranks: incremental re-rank after the graph changes (the
+    streaming-snapshot loop).  The residual iteration must reach the same
+    fixpoint as a cold start, in far fewer supersteps.
+
+    Convergence arithmetic for the assertions: the b<->c 2-cycle decays
+    deltas by d=0.85 per superstep, so a cold start from delta=alpha needs
+    ~log(alpha/tol)/log(1/d) supersteps (~60 at tol=1e-5), while a seed
+    already converged to tol carries residual ~tol/(1-d), needing only
+    ~log(1/(1-d))/log(1/d) ~ 12.  Two tol-converged runs can differ by
+    ~2*tol/(1-d), hence the 2e-4 parity band at tol=1e-5."""
+
+    TOL, MAXIT, BAND = 1e-5, 120, 2e-4
+
+    def test_seed_with_converged_ranks_restarts_cheaply(self, spark):
+        g = wiki_graph(spark)
+        cold = page_rank(g, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        assert cold.did_converge and cold.ran_iterations >= 40
+        warm = page_rank(
+            g,
+            PageRankConfig(
+                tolerance=self.TOL, max_iterations=self.MAXIT, seed_ranks=cold.scores
+            ),
+        )
+        assert warm.did_converge and warm.ran_iterations <= cold.ran_iterations // 2
+        assert_close(scores_by_letter(warm), scores_by_letter(cold), tol=self.BAND)
+
+    def test_seeded_matches_cold_after_edge_additions(self, spark):
+        g1 = wiki_graph(spark)
+        old = page_rank(g1, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        # the crawl found new links: a->e, k->b (and a brand-new node l->b)
+        letters2 = LETTERS + "l"
+        g2 = LinkGraph.from_edges(
+            spark,
+            edges_from(letters2, WIKI_EDGES + ", a->e, k->b, l->b"),
+            nodes=range(len(letters2)),
+        )
+        cold = page_rank(g2, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        warm = page_rank(
+            g2,
+            PageRankConfig(
+                tolerance=self.TOL, max_iterations=self.MAXIT, seed_ranks=old.scores
+            ),
+        )
+        assert cold.did_converge and warm.did_converge
+        assert warm.ran_iterations <= cold.ran_iterations
+        a = scores_by_letter(warm, letters2)
+        b = scores_by_letter(cold, letters2)
+        assert_close(a, b, tol=self.BAND)
+
+    def test_seeded_matches_cold_after_edge_removal(self, spark):
+        """Removal makes residuals NEGATIVE at nodes that lost in-rank; the
+        |delta| gate must keep propagating them."""
+        g1 = wiki_graph(spark)
+        old = page_rank(g1, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        pruned = WIKI_EDGES.replace("e->b, ", "").replace("g->b, ", "")
+        g2 = LinkGraph.from_edges(
+            spark, edges_from(LETTERS, pruned), nodes=range(len(LETTERS))
+        )
+        cold = page_rank(g2, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        warm = page_rank(
+            g2,
+            PageRankConfig(
+                tolerance=self.TOL, max_iterations=self.MAXIT, seed_ranks=old.scores
+            ),
+        )
+        assert cold.did_converge and warm.did_converge
+        assert_close(scores_by_letter(warm), scores_by_letter(cold), tol=self.BAND)
+
+    def test_personalized_seeded_parity(self, spark):
+        g = wiki_graph(spark)
+        cfgk = dict(tolerance=self.TOL, max_iterations=self.MAXIT, source_nodes=[4])
+        cold = page_rank(g, PageRankConfig(**cfgk))
+        warm = page_rank(g, PageRankConfig(**cfgk, seed_ranks=cold.scores))
+        assert warm.did_converge and warm.ran_iterations <= max(
+            2, cold.ran_iterations // 2
+        )
+        assert_close(scores_by_letter(warm), scores_by_letter(cold), tol=self.BAND)

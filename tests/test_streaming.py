@@ -86,6 +86,47 @@ def test_snapshot_feeds_linkgraph(spark, tmp_path):
     assert g.node_count() == 3
 
 
+def test_crawl_loop_snapshot_warm_rerank(spark, tmp_path):
+    """The full continuous-crawl loop: drain -> snapshot v1 -> converge
+    PageRank -> more crawl files arrive -> drain (same checkpoint) ->
+    snapshot v2 -> WARM re-rank seeded with v1 scores.  The warm run must
+    reach the cold fixpoint on v2 (within the 2*tol/(1-d) band two
+    tol-converged runs may differ by) without running more supersteps."""
+    from graph_data_science_spark.operators.graph import LinkGraph
+    from graph_data_science_spark.operators.pagerank import (
+        PageRankConfig,
+        page_rank,
+    )
+
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    # a ring of 12 with chords — enough structure for >1 superstep
+    ring = [(i, (i + 1) % 12, i) for i in range(12)]
+    chords = [(i, (i + 5) % 12, 20 + i) for i in range(0, 12, 3)]
+    _write_input(spark, inp, ring + chords)
+    snap1 = _drain(spark, inp, work)
+    tol = 1e-5
+    cfg = dict(tolerance=tol, max_iterations=200)
+    g1 = LinkGraph.from_edges(spark, snap1)
+    r1 = page_rank(g1, PageRankConfig(**cfg))
+    assert r1.did_converge
+
+    # the crawl keeps finding links: new chords + two brand-new nodes
+    _write_input(spark, inp, [(3, 9, 600), (12, 0, 610), (7, 13, 620)])
+    snap2 = _drain(spark, inp, work)
+    g2 = LinkGraph.from_edges(spark, snap2)
+    cold = page_rank(g2, PageRankConfig(**cfg))
+    warm = page_rank(g2, PageRankConfig(**cfg, seed_ranks=r1.scores))
+    assert cold.did_converge and warm.did_converge
+    assert warm.ran_iterations <= cold.ran_iterations
+    band = 2 * tol / 0.15
+    w = {r.id: r.score for r in warm.scores.collect()}
+    c = {r.id: r.score for r in cold.scores.collect()}
+    assert set(w) == set(c) and len(w) == 14
+    for k in w:
+        assert w[k] == pytest.approx(c[k], abs=band)
+
+
 def test_windowed_degree_matches_batch_truncation(spark, tmp_path):
     rows = [
         (1, 9, 0), (2, 9, 30),          # hour 0: in-degree(9) = 2

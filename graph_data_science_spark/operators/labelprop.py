@@ -73,7 +73,20 @@ def label_propagation(
 ) -> LabelPropagationResult:
     cfg = cfg or LabelPropagationConfig()
     spark = graph.nodes.sparkSession
-    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    fp = None
+    if cfg.checkpoint_path is not None:
+        from graph_data_science_spark.plans.checkpoint import graph_fingerprint
+
+        fp = graph_fingerprint(
+            graph.nodes,
+            graph.edges,
+            algorithm="labelprop",
+            weighted=cfg.weighted,
+            seed_property=cfg.seed_property,
+            node_weight_property=cfg.node_weight_property,
+            orientation=str(cfg.orientation),
+        )
+    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path, fingerprint=fp)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     from graph_data_science_spark.plans.estimate import cost_report
@@ -96,13 +109,26 @@ def label_propagation(
     vote_w = (F.col("weight") if cfg.weighted else F.lit(1.0)) * F.col("node_w")
     edges = edges.select("src", "dst", vote_w.alias("vote")).repartition(n_part, "dst").cache()
 
-    state = _init_labels(graph, cfg)
-    state = ckpt.checkpoint(state, 0)
+    # resume (north rule: every superstep resumable mid-iteration): the sync
+    # update is a deterministic function of the previous label state, so
+    # continuing from the latest COMMITTED superstep replays exactly the
+    # trajectory an uninterrupted run would have taken.  The fingerprint gate
+    # (graph content + config identity) refuses stale state from a different
+    # graph or config at the same path.
+    start_t = 0
+    resumed = ckpt.latest_superstep()
+    if resumed is not None and 0 < resumed < cfg.max_iterations:
+        state = ckpt.load(resumed)
+        start_t = resumed
+        ckpt.log(resumed, algorithm="labelprop", resumed_from=resumed)
+    else:
+        state = _init_labels(graph, cfg)
+        state = ckpt.checkpoint(state, 0)
 
     ran, converged = cfg.max_iterations, False
     t0 = time.time()
     with no_aqe(spark):
-        for t in range(1, cfg.max_iterations + 1):
+        for t in range(start_t + 1, cfg.max_iterations + 1):
             nbr_labels = state.select(F.col("id").alias("dst"), F.col("label").alias("nbr_label"))
             votes = (
                 edges.join(nbr_labels, "dst")

@@ -98,3 +98,50 @@ class TestSyncEngine:
         # same partition structure (label values may differ between semantics)
         assert len(set(label_map(res).values())) == 1
         assert len(set(oracle)) == 1
+
+
+class TestDurableResume:
+    def test_resume_replays_exact_trajectory(self, spark, tmp_path):
+        """Sync LP is a deterministic function of the previous state, so a
+        resumed run must land on EXACTLY the labels an uninterrupted run
+        produces (not merely the same partition)."""
+        # two chains merging into a ring: takes several iterations to settle
+        edges = (
+            [(i, i + 1) for i in range(12)]
+            + [(i + 1, i) for i in range(12)]
+            + [(12, 0), (0, 12)]
+        )
+        g = LinkGraph.from_edges(spark, edges, nodes=range(13))
+        ck = str(tmp_path / "lp_ck")
+
+        gold = label_propagation(g, LabelPropagationConfig(max_iterations=10))
+
+        partial = label_propagation(
+            g, LabelPropagationConfig(max_iterations=3, checkpoint_path=ck)
+        )
+        assert not partial.did_converge
+        res = label_propagation(
+            g, LabelPropagationConfig(max_iterations=10, checkpoint_path=ck)
+        )
+        assert any(m.get("resumed_from") == 3 for m in res.metrics)
+        assert label_map(res) == label_map(gold)
+        assert res.did_converge == gold.did_converge
+
+    def test_resume_refuses_stale_state_of_different_config(self, spark, tmp_path):
+        """Same path, different config (weighted) -> fingerprint mismatch ->
+        cold start, not silent stale resume."""
+        import pyspark.sql.functions as F
+
+        edges = [(i, i + 1) for i in range(8)] + [(i + 1, i) for i in range(8)]
+        g = LinkGraph.from_edges(spark, edges, nodes=range(9))
+        ck = str(tmp_path / "lp_ck2")
+        label_propagation(
+            g, LabelPropagationConfig(max_iterations=2, checkpoint_path=ck)
+        )
+        res = label_propagation(
+            g,
+            LabelPropagationConfig(
+                max_iterations=4, weighted=True, checkpoint_path=ck
+            ),
+        )
+        assert not any("resumed_from" in m for m in res.metrics)

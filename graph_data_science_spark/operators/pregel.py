@@ -69,6 +69,15 @@ class PregelConfig:
     max_iterations: int = 20
     orientation: Orientation = Orientation.NATURAL
     checkpoint_path: Optional[str] = None
+    # Durable mid-run resume (north rule) for USER computations: Python
+    # callables have no stable content hash, so resume requires the caller to
+    # name the computation — the name joins the graph fingerprint stamped
+    # into every committed manifest, and a rerun with the same
+    # (path, computation_id, graph, reducer, orientation) continues from the
+    # latest committed superstep.  Without an id, checkpoints still truncate
+    # plans but are never resumed (a different computation reusing the path
+    # must not inherit stale state).
+    computation_id: Optional[str] = None
 
 
 @dataclass
@@ -84,7 +93,18 @@ def run_pregel(
 ) -> PregelResult:
     cfg = cfg or PregelConfig()
     spark = graph.nodes.sparkSession
-    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path)
+    fp = None
+    if cfg.checkpoint_path is not None and cfg.computation_id is not None:
+        from graph_data_science_spark.plans.checkpoint import graph_fingerprint
+
+        fp = graph_fingerprint(
+            graph.nodes,
+            graph.edges,
+            algorithm=f"pregel:{cfg.computation_id}",
+            reducer=comp.reducer,
+            orientation=str(cfg.orientation),
+        )
+    ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path, fingerprint=fp)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     from graph_data_science_spark.plans.estimate import cost_report
@@ -100,17 +120,28 @@ def run_pregel(
 
     state = comp.init(graph.nodes)
     state_cols = [c for c in state.columns if c != "id"]
-    # _computed: the node ran compute() last superstep (initially: all).
-    # Sending is an EVENT tied to being computed — a node that receives no
-    # messages is not invoked and must NOT re-send its stale state
-    # (ComputeStep.java:95 skips halted nodes without messages).
-    state = state.withColumn("_computed", F.lit(True))
-    state = ckpt.checkpoint(state, 0)
+    # resume: the superstep is a deterministic function of the previous
+    # (state, _computed) snapshot, so continuing from the latest committed
+    # superstep replays the uninterrupted trajectory exactly.  Only attempted
+    # when a computation_id made the fingerprint specific (see PregelConfig).
+    start_t = 0
+    resumed = ckpt.latest_superstep() if fp is not None else None
+    if resumed is not None and 0 < resumed < cfg.max_iterations:
+        state = ckpt.load(resumed)
+        start_t = resumed
+        ckpt.log(resumed, algorithm="pregel", resumed_from=resumed)
+    else:
+        # _computed: the node ran compute() last superstep (initially: all).
+        # Sending is an EVENT tied to being computed — a node that receives no
+        # messages is not invoked and must NOT re-send its stale state
+        # (ComputeStep.java:95 skips halted nodes without messages).
+        state = state.withColumn("_computed", F.lit(True))
+        state = ckpt.checkpoint(state, 0)
 
     ran, converged = cfg.max_iterations, False
     t0 = time.time()
     with no_aqe(spark):
-        for t in range(1, cfg.max_iterations + 1):
+        for t in range(start_t + 1, cfg.max_iterations + 1):
             senders = state.where(F.col("_computed"))
             if comp.send_when is not None:
                 gate = comp.send_when(senders)

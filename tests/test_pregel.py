@@ -98,3 +98,62 @@ def test_pregel_max_propagation(spark):
     best = {r["id"]: r["best"] for r in res.state.collect()}
     assert best[0] == best[1] == best[2] == 2
     assert best[4] == best[5] == 5
+
+
+def test_pregel_durable_resume_exact_trajectory(spark, tmp_path):
+    """A named user computation resumes from the latest committed superstep
+    and lands on EXACTLY the uninterrupted run's state; a different
+    computation_id at the same path must cold-start."""
+    # min-distance propagation over a long chain (many supersteps)
+    chain = [(i, i + 1) for i in range(15)]
+    g = LinkGraph.from_edges(spark, chain, nodes=range(16))
+    INF = float("inf")
+
+    def make_comp():
+        return PregelComputation(
+            init=lambda nodes: nodes.select(
+                "id",
+                F.when(F.col("id") == 0, 0.0).otherwise(F.lit(INF)).alias("dist"),
+            ),
+            message=lambda se: F.col("dist") + F.lit(1.0),
+            update=lambda st, msg: [F.least(F.col("dist"), msg)],
+            reducer="min",
+            send_when=lambda st: F.col("dist") < F.lit(INF),
+        )
+
+    ck = str(tmp_path / "pregel_ck")
+    gold = run_pregel(g, make_comp(), PregelConfig(max_iterations=30))
+    assert gold.did_converge
+
+    partial = run_pregel(
+        g,
+        make_comp(),
+        PregelConfig(max_iterations=4, checkpoint_path=ck, computation_id="sssp1"),
+    )
+    assert not partial.did_converge
+    res = run_pregel(
+        g,
+        make_comp(),
+        PregelConfig(max_iterations=30, checkpoint_path=ck, computation_id="sssp1"),
+    )
+    assert any(m.get("resumed_from") == 4 for m in res.metrics)
+    assert res.did_converge
+    a = {r["id"]: r["dist"] for r in res.state.collect()}
+    b = {r["id"]: r["dist"] for r in gold.state.collect()}
+    assert a == b
+    assert a[15] == 15.0
+
+    # different computation_id, same path -> fingerprint mismatch -> cold start
+    res2 = run_pregel(
+        g,
+        make_comp(),
+        PregelConfig(max_iterations=30, checkpoint_path=ck, computation_id="other"),
+    )
+    assert not any("resumed_from" in m for m in res2.metrics)
+    assert {r["id"]: r["dist"] for r in res2.state.collect()} == b
+
+    # no computation_id -> resume disabled even with committed state present
+    res3 = run_pregel(
+        g, make_comp(), PregelConfig(max_iterations=30, checkpoint_path=ck)
+    )
+    assert not any("resumed_from" in m for m in res3.metrics)

@@ -1495,12 +1495,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate runs the FIRST
     50 entries in dict order (verified r02->r03: inserting ann_ivf_topk at
     position 36 evicted shortest_path from the recorded rows).  Round-4
-    rotation policy:
+    rotation policy (79 registered queries, all green in the driver-identical
+    local gate at sf0.01 — `scripts/validate_entry.py`):
       positions 1-21  : the 21 queries that had never received a driver row
-                        (green in the driver-identical local gate at sf0.01)
-      positions 22-34 : queries green < 3 consecutive rounds
-      positions 35-50 : a 16-query rotation of the triple-green stable core
-      positions 51-71 : the remaining 21 triple-green stable queries, parked
+      positions 22-38 : queries green < 3 consecutive rounds
+      positions 39-42 : new in round 4 (dedup_clusters, streaming_ingest,
+                        bucketed_storage, pagerank_incremental)
+      positions 43-50 : an 8-query rotation of the triple-green stable core
+      positions 51-79 : the remaining triple-green stable queries, parked
                         this round (rotate back next round)
     """
     return {

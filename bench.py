@@ -187,8 +187,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     times["q5_corpus_pipeline"] = time.time() - t0
 
     # -- q6: MinHash LSH dedup candidates over documents ---------------------
+    # scheme="kmh": one md5 per word -> 16 derived bigint hashes (driver-
+    # validated as lsh_pairs_kmh); the salted-md5 oracle path hashes 16x more
     t0 = time.time()
-    dedup_ops.lsh_candidate_pairs(docs, bands=4, rows_per_band=4).count()
+    dedup_ops.lsh_candidate_pairs(docs, bands=4, rows_per_band=4, scheme="kmh").count()
     times["q6_minhash_lsh"] = time.time() - t0
 
     # -- q7: LSH ANN top-k over embeddings -----------------------------------
@@ -203,7 +205,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     t0 = time.time()
     # selective banding (3 bands x 8 rows): collision needs jaccard^8-level
     # agreement in a band — candidates stay near-linear in true duplicates
-    cands = dedup_ops.lsh_candidate_pairs(docs, bands=3, rows_per_band=8).cache()
+    cands = dedup_ops.lsh_candidate_pairs(
+        docs, bands=3, rows_per_band=8, scheme="kmh"
+    ).cache()
     n_cands = cands.count()
     n_verified = dedup_ops.ngram_jaccard_pairs(docs, candidate_pairs=cands).count()
     cands.unpersist()

@@ -43,22 +43,56 @@ def _word_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, scheme: str = "salted-md5"
+) -> DataFrame:
     """doc_id, h0..h{n-1} — MinHash over the word set (min is duplicate-
-    insensitive, so no distinct needed before the aggregation)."""
+    insensitive, so no distinct needed before the aggregation).
+
+    scheme="salted-md5" (canonical/oracle default): h_j(w) = md5('<j>:'||w),
+    one md5 PER (word, j) and hex-STRING mins — k md5 computations per word
+    row and 32-byte shuffle values.
+
+    scheme="kmh" (Kirsch-Mitzenmacher, the 100-TB fast path): ONE md5 per
+    word, split into two 48-bit halves a = conv(md5[1:12],16,10) and
+    b = conv(md5[13:24],16,10), then h_j(w) = a + j*(2b+1) — k derived
+    BIGINT hashes from one digest (Kirsch & Mitzenmacher, "Less Hashing,
+    Same Performance", ESA 2006: two independent hashes suffice for
+    min-wise estimates).  2b+1 keeps the stride odd; a < 2^48,
+    (2b+1) < 2^49, so h_j < 2^48 + j*2^49 fits a bigint exactly for any
+    practical j (no overflow, so DuckDB replays it with plain integer
+    arithmetic).  Cuts per-word hashing k-fold and shuffles 8-byte longs
+    instead of 32-byte hex strings — at 10^12 documents that is the
+    difference between one md5 pass and twenty-four.
+    """
     words = _word_rows(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("word")))).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
+    if scheme == "kmh":
+        md = F.md5(F.col("word"))
+        a = F.conv(F.substring(md, 1, 12), 16, 10).cast("long")
+        b = F.conv(F.substring(md, 13, 12), 16, 10).cast("long") * 2 + 1
+        words = words.select(ID_COL, a.alias("_a"), b.alias("_b"))
+        aggs = [
+            F.min(F.col("_a") + F.lit(j) * F.col("_b")).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    elif scheme == "salted-md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("word")))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown minhash scheme {scheme!r}")
     return words.groupBy(ID_COL).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, bands: int = 4, rows_per_band: int = 4
+    docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    scheme: str = "salted-md5",
 ) -> DataFrame:
     """doc1 < doc2 pairs sharing at least one MinHash band bucket."""
-    sig = minhash_signatures(docs, bands * rows_per_band)
+    sig = minhash_signatures(docs, bands * rows_per_band, scheme=scheme)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]

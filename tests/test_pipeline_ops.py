@@ -79,6 +79,35 @@ class TestDedup:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_minhash_kmh_identical_docs_collide(self, spark):
+        d = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "completely different words entirely")],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r["doc1"], r["doc2"])
+            for r in dedup.lsh_candidate_pairs(d, scheme="kmh").collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_minhash_kmh_matches_hashlib_reference(self, spark):
+        # h_j(w) = a + j*(2b+1) with a = int(md5[:12],16), b = int(md5[12:24],16)
+        import hashlib
+
+        text = "alpha beta gamma alpha"
+        d = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+        row = dedup.minhash_signatures(d, num_hashes=4, scheme="kmh").collect()[0]
+
+        def kmh(word, j):
+            m = hashlib.md5(word.encode()).hexdigest()
+            a, b = int(m[:12], 16), int(m[12:24], 16)
+            return a + j * (2 * b + 1)
+
+        words = set(text.lower().split())
+        for j in range(4):
+            assert row[f"h{j}"] == min(kmh(w, j) for w in words)
+
     def test_dedup_clusters_end_to_end(self, spark):
         # 1=2 exact dups, 3 near-dup of 1 (jaccard >= 0.5), 4 unrelated,
         # 5 near-dup of 3 but not of 1 -> transitivity puts 1,2,3,5 in one

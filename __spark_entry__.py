@@ -343,10 +343,11 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_pairs_kmh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs under the Kirsch-Mitzenmacher signature scheme
-    (one md5 per word -> two 48-bit halves -> 16 derived bigint hashes)
-    — the scale path bench.py q6/q8 measure; this row driver-validates it
-    against a DuckDB replay of the exact same integer arithmetic."""
+    """LSH candidate pairs under the derived-hash signature scheme (one md5
+    per word -> two 48-bit halves -> 16 bigint hashes via per-j multiplier
+    pairs mod 2^48) — the scale path bench.py q6/q8 measure; this row
+    driver-validates it against a DuckDB replay of the exact same integer
+    arithmetic."""
     docs = _documents_with_dups(spark, sf_dir)
     return dedup_ops.lsh_candidate_pairs(docs, bands=4, rows_per_band=4, scheme="kmh")
 
@@ -2440,8 +2441,11 @@ SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
 WHERE a.doc_id < b.doc_id"""
 
+    from graph_data_science_spark.operators.dedup import _KMH_M48, _KMH_MULT
+
     kmh_mins = ",\n".join(
-        f"       MIN(a + {j} * b) AS h{j}" for j in range(16)
+        f"       MIN(({c}*a + {d}*b) % {_KMH_M48}) AS h{j}"
+        for j, (c, d) in enumerate(_KMH_MULT[:16])
     )
     kmh_band_exprs = []
     for b in range(4):
@@ -2454,7 +2458,7 @@ WHERE a.doc_id < b.doc_id"""
 words AS (SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM docs_dup),
 hx AS (SELECT doc_id, md5(word) AS m FROM words),
 ab AS (SELECT doc_id, {_hhex("m", 1, 12)} AS a,
-              2 * {_hhex("m", 13, 12)} + 1 AS b FROM hx),
+              {_hhex("m", 13, 12)} AS b FROM hx),
 sig AS (SELECT doc_id,
 {kmh_mins}
 FROM ab GROUP BY doc_id),

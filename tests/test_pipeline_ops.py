@@ -92,7 +92,8 @@ class TestDedup:
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
     def test_minhash_kmh_matches_hashlib_reference(self, spark):
-        # h_j(w) = a + j*(2b+1) with a = int(md5[:12],16), b = int(md5[12:24],16)
+        # h_j(w) = (c_j*a + d_j*b) mod 2^48 with a = int(md5[:12],16),
+        # b = int(md5[12:24],16) and (c_j, d_j) the fixed _KMH_MULT pairs
         import hashlib
 
         text = "alpha beta gamma alpha"
@@ -102,7 +103,8 @@ class TestDedup:
         def kmh(word, j):
             m = hashlib.md5(word.encode()).hexdigest()
             a, b = int(m[:12], 16), int(m[12:24], 16)
-            return a + j * (2 * b + 1)
+            c, dd = dedup._KMH_MULT[j]
+            return (c * a + dd * b) % (1 << 48)
 
         words = set(text.lower().split())
         for j in range(4):

@@ -879,6 +879,47 @@ def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accelerated-PageRank CONTRACT (stride-2 Aitken Δ² extrapolation,
+    Kamvar et al. "Extrapolation Methods for Accelerating PageRank
+    Computations", WWW 2003; operators/pagerank.py extrapolate_every).
+
+    Float fixpoints of two different trajectories are not SQL-replayable, so
+    the contract IS the oracle: at tol=1e-6 the extrapolated run must
+    (1) converge within 48 supersteps — the plain recurrence needs ~85 on
+    this graph (error decays by d=0.85/superstep: log(1e-6)/log(0.85) ≈ 85;
+    measured 80 at sf0.01/sf0.1, BENCH.md), so this bound is only reachable
+    through the extrapolation restarts; (2) actually extrapolate (≥1
+    restart); and (3) carry an independent post-hoc fixpoint certificate:
+    one extra matvec showing ‖init + d·Mᵀr − r‖∞ ≤ 20·tol
+    (pagerank_residual — the convergence gate bounds per-node DELTAS by tol,
+    and the residual is d·Mᵀδ, which concentrates at high in-degree nodes;
+    20× is the measured-with-headroom band for this graph)."""
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    tol = 1e-6
+    res = pr_ops.page_rank(
+        g,
+        pr_ops.PageRankConfig(
+            tolerance=tol, max_iterations=48,
+            checkpoint_every=4, extrapolate_every=16,
+        ),
+    )
+    restarts = sum(1 for m in res.metrics if m.get("extrapolated"))
+    residual = pr_ops.pagerank_residual(g, res.scores)
+    return spark.createDataFrame(
+        [
+            (
+                bool(res.did_converge),
+                bool(restarts >= 1),
+                bool(residual <= 20 * tol),
+            )
+        ],
+        "converged_under_half_plain boolean, extrapolated boolean,"
+        " residual_certified boolean",
+    )
+
+
 def q_bucketed_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed graph storage roundtrip (sources/bucketed.py — the CSR-layout
     analog): the dense graph is persisted with bucketBy(16, src), loaded
@@ -1509,11 +1550,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local gate at sf0.01 — `scripts/validate_entry.py`):
       positions 1-21  : the 21 queries that had never received a driver row
       positions 22-38 : queries green < 3 consecutive rounds
-      positions 39-43 : new in round 4 (dedup_clusters, streaming_ingest,
+      positions 39-44 : new in round 4 (dedup_clusters, streaming_ingest,
                         bucketed_storage, pagerank_incremental,
-                        lsh_pairs_kmh)
-      positions 44-50 : a 7-query rotation of the triple-green stable core
-      positions 51-80 : the remaining triple-green stable queries, parked
+                        pagerank_accel, lsh_pairs_kmh)
+      positions 45-50 : a 6-query rotation of the triple-green stable core
+      positions 51-81 : the remaining triple-green stable queries, parked
                         this round (rotate back next round)
     """
     return {
@@ -1565,6 +1606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_storage": q_bucketed_storage,
         # new in round 4: warm-started incremental re-rank contract
         "pagerank_incremental": q_pagerank_incremental,
+        # new in round 4: stride-2 Aitken extrapolation contract (the
+        # wall-to-convergence accelerator bench q1b measures)
+        "pagerank_accel": q_pagerank_accel,
         # new in round 4: Kirsch-Mitzenmacher minhash scale path (bench q6/q8)
         "lsh_pairs_kmh": q_lsh_pairs_kmh,
         # -- stable-core rotation (triple-green) ---------------------------
@@ -1574,8 +1618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_1iter": q_labelprop_1iter,
         "node_similarity": q_node_similarity,
         "sssp": q_sssp,
-        "bfs": q_bfs,
         # -- parked triple-green (past the driver's 50-row window) ---------
+        "bfs": q_bfs,
         "closeness": q_closeness,
         "dedup_exact": q_dedup_exact,
         "lsh_pairs": q_lsh_pairs,
@@ -2251,6 +2295,13 @@ FROM nodes n LEFT JOIN d ON d.src = n.id"""
     sqls["pagerank_incremental"] = (
         "SELECT TRUE AS converged_all, TRUE AS warm_not_slower,"
         " TRUE AS parity_within_band"
+    )
+
+    # accelerated pagerank is a contract row: converged-in-48 where plain
+    # analytically needs ~85, ≥1 extrapolation restart, residual-certified
+    sqls["pagerank_accel"] = (
+        "SELECT TRUE AS converged_under_half_plain, TRUE AS extrapolated,"
+        " TRUE AS residual_certified"
     )
 
     sqls["degree_in_weighted"] = f"""WITH {SQL_WEDGES}, {SQL_WNODES},

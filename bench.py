@@ -144,6 +144,31 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         g.edges.unpersist()
         return times, extra
 
+    # -- q1b: SAME convergence target, stride-2 Aitken extrapolation --------
+    # (Kamvar et al. WWW'03; PageRankConfig.extrapolate_every).  Converges to
+    # the same fixpoint — certified by one post-hoc matvec (residual ≤
+    # 20*tol) — in ~1/3 the supersteps; q1 stays the plain recurrence for
+    # round-over-round comparability.  Wall-to-convergence is the north
+    # rule's headline metric, so both are reported.
+    t0 = time.time()
+    xres = pr_ops.page_rank(
+        g,
+        pr_ops.PageRankConfig(
+            tolerance=1e-6, max_iterations=100, checkpoint_every=CKPT_EVERY,
+            extrapolate_every=16,
+        ),
+    )
+    xres.scores.agg(F.sum("score")).collect()
+    times["q1b_pagerank_accel"] = time.time() - t0
+    extra["pagerank_accel_iters"] = xres.ran_iterations
+    extra["pagerank_accel_restarts"] = sum(
+        1 for m in xres.metrics if m.get("extrapolated")
+    )
+    extra["pagerank_accel_converged"] = bool(xres.did_converge)
+    extra["pagerank_accel_residual"] = round(
+        pr_ops.pagerank_residual(g, xres.scores), 9
+    )
+
     # -- q2: WCC to convergence ---------------------------------------------
     t0 = time.time()
     wres = wcc_ops.wcc(g)

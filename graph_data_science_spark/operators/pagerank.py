@@ -65,6 +65,20 @@ class PageRankConfig:
     # count convergence on |delta| (identical semantics when unseeded:
     # cold-start deltas are nonnegative).
     seed_ranks: DataFrame | None = None
+    # Aitken Δ² (Kamvar et al., "Extrapolation Methods for Accelerating
+    # PageRank Computations", WWW 2003) applied every N supersteps, at
+    # checkpoint boundaries where t % N == 0.  Delta-push makes this nearly
+    # free: the window already carries the last two per-node deltas, so the
+    # extrapolated vector  r* = rank + sign(δ_t)·min(δ_t²/(δ_{t-1}−δ_t),
+    # d/(1−d)·|δ_t|)  costs one projection, and the loop restarts from r*
+    # via the same one-Jacobi-step residual used by warm starts (seed_ranks)
+    # — converging to the SAME unique fixpoint (I − dM^T)^{-1}·init, with the
+    # same |residual| ≤ tolerance stopping criterion, in fewer supersteps
+    # (each application cancels the dominant geometric error mode).  The
+    # d/(1−d) cap bounds any per-node correction by the largest tail a
+    # ratio-d geometric series could still contribute.  0 = off (default;
+    # oracle replays iterate the plain recurrence).
+    extrapolate_every: int = 0
 
 
 @dataclass
@@ -137,6 +151,8 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
             # seeded and unseeded runs must not resume each other's
             # checkpoints; distinct seeds should use distinct paths
             seeded=cfg.seed_ranks is not None,
+            # extrapolated runs follow a different superstep trajectory
+            extrapolate_every=cfg.extrapolate_every,
         )
     ckpt = SuperstepCheckpointer(spark, cfg.checkpoint_path, fingerprint=fp)
     alpha = 1.0 - cfg.damping_factor
@@ -244,18 +260,114 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
             # boundary: rank' = rank + sum of window deltas (union + one agg);
             # the final window delta rides along tagged so the next window's
             # senders read it from the same materialized state.
-            rows = state.select("id", F.col("rank").alias("v"), F.lit(0).alias("last"))
-            for i, w_df in enumerate(window):
-                tag = 1 if i == len(window) - 1 else 0
-                rows = rows.unionByName(
-                    w_df.select("id", F.col("delta").alias("v"), F.lit(tag).alias("last"))
-                )
-            new_state = rows.groupBy("id").agg(
-                F.sum("v").alias("rank"),
-                F.coalesce(
-                    F.sum(F.when(F.col("last") == 1, F.col("v"))), F.lit(0.0)
-                ).alias("delta"),
+            do_x = (
+                cfg.extrapolate_every > 0
+                and t % cfg.extrapolate_every == 0
+                and t < cfg.max_iterations - 1
             )
+            if not do_x:
+                rows = state.select(
+                    "id", F.col("rank").alias("v"), F.lit(0).alias("last")
+                )
+                for i, w_df in enumerate(window):
+                    tag = 1 if i == len(window) - 1 else 0
+                    rows = rows.unionByName(
+                        w_df.select(
+                            "id", F.col("delta").alias("v"), F.lit(tag).alias("last")
+                        )
+                    )
+                new_state = rows.groupBy("id").agg(
+                    F.sum("v").alias("rank"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("last") == 1, F.col("v"))), F.lit(0.0)
+                    ).alias("delta"),
+                )
+            else:
+                # Aitken Δ² boundary.  With a full window (≥4 deltas) the
+                # extrapolation runs on the STRIDE-2 subsequence x_{t-2k}:
+                # ΔX = δ_t + δ_{t-1} vs δ_{t-2} + δ_{t-3}, whose ratio is
+                # exactly d·λ² for BOTH a pure geometric mode and a period-2
+                # alternation (2-cycles make consecutive per-node ratios
+                # oscillate, stalling plain Aitken — stride 2 squares the
+                # oscillation away while reproducing δ·r/(1-r) exactly on
+                # pure-geometric nodes).  Short windows fall back to 1-step
+                # Aitken; for a length-1 window δ_{t-1} is the carried
+                # state's delta column (already inside rank — excluded from
+                # the rank sum via in_rank=0).
+                rows = state.select(
+                    "id", F.col("rank").alias("v"),
+                    F.lit(0).alias("last"), F.lit(1).alias("in_rank"),
+                )
+                for i, w_df in enumerate(window):
+                    back = len(window) - 1 - i  # 0 = δ_t, 1 = δ_{t-1}, ...
+                    tag = back + 1 if back < 4 else 0
+                    rows = rows.unionByName(
+                        w_df.select(
+                            "id", F.col("delta").alias("v"),
+                            F.lit(tag).alias("last"), F.lit(1).alias("in_rank"),
+                        )
+                    )
+                if len(window) == 1:
+                    rows = rows.unionByName(
+                        state.select(
+                            "id", F.col("delta").alias("v"),
+                            F.lit(2).alias("last"), F.lit(0).alias("in_rank"),
+                        )
+                    )
+                stride2 = len(window) >= 4
+
+                def _tagsum(tag: int):
+                    return F.coalesce(
+                        F.sum(F.when(F.col("last") == tag, F.col("v"))), F.lit(0.0)
+                    )
+
+                agg = rows.groupBy("id").agg(
+                    F.sum(F.when(F.col("in_rank") == 1, F.col("v"))).alias("rank"),
+                    *(
+                        [
+                            (_tagsum(1) + _tagsum(2)).alias("d1"),
+                            (_tagsum(3) + _tagsum(4)).alias("d0"),
+                        ]
+                        if stride2
+                        else [_tagsum(1).alias("d1"), _tagsum(2).alias("d0")]
+                    ),
+                )
+                # max tail a ratio-d mode can still contribute, in d1 units
+                cap = (d * d / (1.0 - d * d)) if stride2 else (d / (1.0 - d))
+                denom = F.col("d0") - F.col("d1")
+                # valid only while the per-node sequence is decaying with a
+                # consistent sign (implies denom != 0); elsewhere no
+                # correction — those nodes are converging on their own.
+                valid = (F.col("d1") * F.col("d0") > 0) & (
+                    F.abs(F.col("d1")) < F.abs(F.col("d0"))
+                )
+                corr = F.when(
+                    valid,
+                    F.signum(F.col("d1"))
+                    * F.least(
+                        F.abs(F.col("d1") * F.col("d1") / denom),
+                        F.lit(cap) * F.abs(F.col("d1")),
+                    ),
+                ).otherwise(F.lit(0.0))
+                # materialize r* once (it feeds both sides of the restart
+                # join), then restart the recurrence with one Jacobi step —
+                # identical to the seed_ranks warm-start path.
+                rstar = ckpt.checkpoint(
+                    agg.select("id", (F.col("rank") + corr).alias("r0")),
+                    t, name="xtrap",
+                )
+                msg = (
+                    rstar.hint("shuffle_hash")
+                    .join(shares, rstar["id"] == shares["src"])
+                    .groupBy("dst")
+                    .agg((F.lit(d) * F.sum(F.col("r0") * F.col("share"))).alias("m"))
+                    .select(F.col("dst").alias("id"), "m")
+                )
+                new_state = rstar.join(msg, "id", "left").select(
+                    "id",
+                    (init + F.coalesce("m", F.lit(0.0))).alias("rank"),
+                    (init + F.coalesce("m", F.lit(0.0)) - F.col("r0")).alias("delta"),
+                )
             obs = None
             if cfg.tolerance > 0.0:
                 from pyspark.sql import Observation
@@ -275,6 +387,9 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
                 algorithm="pagerank" if denominator == "degree" else "articlerank",
                 active=active,
                 wall_s=time.time() - t0,
+                # an extrapolated boundary spends one extra M^T·r product on
+                # the restart — counted here for honest edges/sec accounting
+                extrapolated=bool(do_x),
             )
             if active == 0:
                 ran, converged = t, True
@@ -286,6 +401,50 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
 
         scores = scale_property(scores, "score", cfg.scaler)
     return CentralityResult(scores, ran, converged, ckpt.metrics)
+
+
+def pagerank_residual(
+    graph: LinkGraph, scores: DataFrame, cfg: PageRankConfig | None = None
+) -> float:
+    """Max-norm PageRank residual ‖init + d·Mᵀr − r‖∞ of a score vector.
+
+    One matvec (join + agg).  Certifies a claimed fixpoint independently of
+    the trajectory that produced it — the extrapolated path's convergence
+    proof, and the same quantity the plain delta-push loop gates on (its
+    superstep delta IS this residual, see the rank_t/delta_t identity in the
+    loop comment).
+    """
+    cfg = cfg or PageRankConfig()
+    alpha = 1.0 - cfg.damping_factor
+    shares = _out_shares(graph, cfg, "degree")
+    if cfg.source_nodes:
+        srcs = [int(s) for s in cfg.source_nodes]
+        init = F.when(F.col("id").isin(srcs), F.lit(alpha)).otherwise(F.lit(0.0))
+    else:
+        init = F.lit(alpha)
+    r = scores.select("id", F.col("score").alias("r"))
+    msg = (
+        r.hint("shuffle_hash")
+        .join(shares, r["id"] == shares["src"])
+        .groupBy("dst")
+        .agg(
+            (F.lit(cfg.damping_factor) * F.sum(F.col("r") * F.col("share"))).alias("m")
+        )
+        .select(F.col("dst").alias("id"), "m")
+    )
+    out = (
+        r.join(msg, "id", "left")
+        .agg(
+            F.max(
+                F.abs(init + F.coalesce(F.col("m"), F.lit(0.0)) - F.col("r"))
+            ).alias("res")
+        )
+        .collect()[0]["res"]
+    )
+    shares.unpersist()
+    if out is None:
+        raise ValueError("pagerank_residual: empty scores frame")
+    return float(out)
 
 
 def eigenvector(graph: LinkGraph, cfg: PageRankConfig | None = None) -> CentralityResult:

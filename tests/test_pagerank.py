@@ -12,6 +12,7 @@ from graph_data_science_spark.operators.pagerank import (
     article_rank,
     eigenvector,
     page_rank,
+    pagerank_residual,
 )
 from tests.conftest import edges_from, ids
 
@@ -342,3 +343,82 @@ class TestWarmStart:
             2, cold.ran_iterations // 2
         )
         assert_close(scores_by_letter(warm), scores_by_letter(cold), tol=self.BAND)
+
+
+class TestExtrapolation:
+    """Aitken Δ² extrapolation (extrapolate_every): same unique fixpoint,
+    materially fewer supersteps.
+
+    The wiki graph's slow mode is the b<->c 2-cycle (decay rate d=0.85):
+    plain needs ~log(alpha/tol)/log(1/d) ≈ 60 supersteps at tol=1e-5; one
+    Aitken restart cancels that dominant mode, so the accelerated run must
+    land well under half.  Two tol-converged trajectories may differ by
+    ~2·tol/(1-d) per node (same band as the warm-start tests)."""
+
+    TOL, MAXIT, BAND = 1e-5, 120, 2e-4
+    # the loop gates on per-node deltas; the residual of the returned vector
+    # is d*M^T(delta), whose inf-norm concentrates at high in-degree nodes
+    # (node b has 7 in-edges) and can exceed ||delta||_inf — certificate
+    # threshold gets that headroom (measured 1.9e-5 on the plain run)
+    CERT = 5e-5
+
+    def test_matches_plain_with_fewer_supersteps(self, spark):
+        g = wiki_graph(spark)
+        plain = page_rank(g, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        accel = page_rank(
+            g,
+            PageRankConfig(
+                tolerance=self.TOL, max_iterations=self.MAXIT,
+                checkpoint_every=4, extrapolate_every=12,
+            ),
+        )
+        assert plain.did_converge and accel.did_converge
+        assert accel.ran_iterations < plain.ran_iterations // 2
+        assert sum(1 for m in accel.metrics if m.get("extrapolated")) >= 1
+        assert_close(scores_by_letter(accel), scores_by_letter(plain), tol=self.BAND)
+        # independent fixpoint certificate: one post-hoc matvec
+        assert pagerank_residual(g, accel.scores) <= self.CERT
+
+    def test_k1_window_uses_carried_state_delta(self, spark):
+        # checkpoint_every=1 → the boundary window holds a single delta and
+        # δ_{t-1} must come from the carried state (the in_rank=0 branch)
+        g = wiki_graph(spark)
+        plain = page_rank(g, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        accel = page_rank(
+            g,
+            PageRankConfig(
+                tolerance=self.TOL, max_iterations=self.MAXIT,
+                checkpoint_every=1, extrapolate_every=10,
+            ),
+        )
+        assert accel.did_converge and accel.ran_iterations < plain.ran_iterations
+        assert_close(scores_by_letter(accel), scores_by_letter(plain), tol=self.BAND)
+
+    def test_personalized_parity(self, spark):
+        g = wiki_graph(spark)
+        cfgk = dict(tolerance=self.TOL, max_iterations=self.MAXIT, source_nodes=[4])
+        plain = page_rank(g, PageRankConfig(**cfgk))
+        accel = page_rank(
+            g, PageRankConfig(**cfgk, checkpoint_every=4, extrapolate_every=12)
+        )
+        assert accel.did_converge
+        assert_close(scores_by_letter(accel), scores_by_letter(plain), tol=self.BAND)
+
+    def test_weighted_parity(self, spark):
+        w = [1.0, 2.0, 0.5, 1.5, 1.0, 3.0, 0.25, 1.0, 2.0, 1.0, 0.5, 1.0, 1.0, 2.0, 1.0, 0.5, 1.0]
+        g = wiki_graph(spark, weights=w)
+        cfgk = dict(tolerance=self.TOL, max_iterations=self.MAXIT, weighted=True)
+        plain = page_rank(g, PageRankConfig(**cfgk))
+        accel = page_rank(
+            g, PageRankConfig(**cfgk, checkpoint_every=4, extrapolate_every=12)
+        )
+        assert accel.did_converge
+        assert_close(scores_by_letter(accel), scores_by_letter(plain), tol=self.BAND)
+
+    def test_residual_certificate_on_plain_run(self, spark):
+        g = wiki_graph(spark)
+        res = page_rank(g, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        assert pagerank_residual(g, res.scores) <= self.CERT
+        # a visibly unconverged vector must fail the certificate
+        early = page_rank(g, PageRankConfig(tolerance=0, max_iterations=3))
+        assert pagerank_residual(g, early.scores) > self.CERT

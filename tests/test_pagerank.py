@@ -422,3 +422,19 @@ class TestExtrapolation:
         # a visibly unconverged vector must fail the certificate
         early = page_rank(g, PageRankConfig(tolerance=0, max_iterations=3))
         assert pagerank_residual(g, early.scores) > self.CERT
+
+    def test_articlerank_parity(self, spark):
+        # extrapolation rides _delta_push, so ArticleRank gets it too —
+        # same fixpoint, never slower than the plain run
+        g = wiki_graph(spark)
+        plain = article_rank(g, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        accel = article_rank(
+            g,
+            PageRankConfig(
+                tolerance=self.TOL, max_iterations=self.MAXIT,
+                checkpoint_every=4, extrapolate_every=12,
+            ),
+        )
+        assert accel.did_converge
+        assert accel.ran_iterations <= plain.ran_iterations
+        assert_close(scores_by_letter(accel), scores_by_letter(plain), tol=self.BAND)

@@ -438,3 +438,30 @@ class TestExtrapolation:
         assert accel.did_converge
         assert accel.ran_iterations <= plain.ran_iterations
         assert_close(scores_by_letter(accel), scores_by_letter(plain), tol=self.BAND)
+
+    def test_resume_composes_with_extrapolation(self, spark, tmp_path):
+        # durable mid-run resume must continue an extrapolated trajectory:
+        # the fingerprint includes extrapolate_every, so a run with a
+        # different period starts fresh instead of resuming a mismatched one
+        g = wiki_graph(spark)
+        ck = str(tmp_path / "prx_ck")
+        cfgk = dict(
+            tolerance=self.TOL, checkpoint_every=4, extrapolate_every=12,
+            checkpoint_path=ck,
+        )
+        plain = page_rank(g, PageRankConfig(tolerance=self.TOL, max_iterations=self.MAXIT))
+        # interrupted after the first extrapolation restart (boundary 12)
+        page_rank(g, PageRankConfig(**cfgk, max_iterations=14))
+        res = page_rank(g, PageRankConfig(**cfgk, max_iterations=self.MAXIT))
+        assert any(m.get("resumed_from", -1) >= 12 for m in res.metrics)
+        assert res.did_converge
+        assert_close(scores_by_letter(res), scores_by_letter(plain), tol=self.BAND)
+        # different extrapolate_every => different fingerprint => no resume
+        fresh = page_rank(
+            g,
+            PageRankConfig(
+                tolerance=self.TOL, max_iterations=self.MAXIT,
+                checkpoint_every=4, extrapolate_every=8, checkpoint_path=ck,
+            ),
+        )
+        assert not any("resumed_from" in m for m in fresh.metrics)

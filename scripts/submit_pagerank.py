@@ -11,6 +11,7 @@ dependency zip and submit:
         --edges /data/edges.parquet --output /data/pagerank_out \
         [--src-col src --dst-col dst] [--tolerance 1e-6] [--max-iterations 100] \
         [--checkpoint-path /data/ckpt]   # durable: resumable mid-iteration
+        [--extrapolate-every 16]         # Aitken-accelerated convergence
 
 On a cluster the driver + executors resolve `graph_data_science_spark` from
 the shipped zip; no install step.  The same invocation at N and 4N executors
@@ -34,6 +35,12 @@ def main() -> None:
     p.add_argument("--tolerance", type=float, default=1e-6)
     p.add_argument("--max-iterations", type=int, default=100)
     p.add_argument("--checkpoint-every", type=int, default=8)
+    p.add_argument(
+        "--extrapolate-every", type=int, default=0,
+        help="stride-2 Aitken extrapolation period in supersteps (0=off); "
+        "same fixpoint, ~1/3 the supersteps to tol 1e-6 — 16 is a good "
+        "default for web link graphs (BENCH.md q1 vs q1b)",
+    )
     p.add_argument("--checkpoint-path", default=None, help="durable superstep state for mid-iteration resume")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args()
@@ -67,6 +74,7 @@ def main() -> None:
             max_iterations=args.max_iterations,
             checkpoint_every=args.checkpoint_every,
             checkpoint_path=args.checkpoint_path,
+            extrapolate_every=args.extrapolate_every,
             weighted=bool(args.weight_col),
         ),
     )

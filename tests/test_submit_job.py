@@ -43,6 +43,10 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
             "--output", out_path,
             "--max-iterations", "30",
             "--tolerance", "1e-6",
+            # exercises the accelerator flag through a real submit; on this
+            # pulse-train ring graph the valid-gate keeps corrections ~0, so
+            # the convergence/sum assertions below are unchanged
+            "--extrapolate-every", "12",
         ],
         capture_output=True,
         text=True,

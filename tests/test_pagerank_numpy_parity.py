@@ -93,3 +93,43 @@ def test_page_rank_allclose_1e6_vs_numpy(spark, variant, seed):
     # float64 vs distributed summation should in fact agree far tighter
     np.testing.assert_allclose(got, want, atol=1e-10, rtol=0)
     assert res.did_converge == converged
+
+
+def test_extrapolated_page_rank_vs_exact_linear_solve(spark):
+    """The Aitken-extrapolated path must land within the RIGOROUS error bound
+    of the exact fixpoint x = (I - d·Mᵀ)⁻¹ · α1 (direct float64 solve, no
+    iteration): the loop stops when ‖δ‖∞ ≤ tol, the returned vector's
+    residual is d·Mᵀδ, and error = (I - d·Mᵀ)⁻¹ · residual, so
+    ‖error‖∞ ≤ tol · max(1, ‖d·Mᵀ‖∞) · ‖(I - d·Mᵀ)⁻¹‖∞ — computed exactly
+    on the 64-node graph.  It must also converge in fewer supersteps than
+    the plain recurrence needs (independently simulated in numpy)."""
+    n, edges, _ = _random_graph(17)
+    d, tol = 0.85, 1e-7
+    g = LinkGraph.from_edges(spark, edges, nodes=range(n))
+    res = page_rank(
+        g,
+        PageRankConfig(
+            tolerance=tol, max_iterations=120,
+            checkpoint_every=4, extrapolate_every=8,
+        ),
+    )
+    assert res.did_converge
+    got = np.zeros(n)
+    for r in res.scores.collect():
+        got[r["id"]] = r["score"]
+
+    w = np.zeros((n, n))
+    for (s, t) in edges:
+        w[s, t] = 1.0
+    deg = w.sum(axis=1)
+    share = np.divide(w, deg[:, None], out=np.zeros_like(w), where=deg[:, None] > 0)
+    A = np.eye(n) - d * share.T
+    exact = np.linalg.solve(A, np.full(n, 0.15))
+    inv_norm = np.abs(np.linalg.inv(A)).sum(axis=1).max()
+    mt_norm = d * share.sum(axis=0).max()
+    bound = tol * max(1.0, mt_norm) * inv_norm
+    assert np.abs(got - exact).max() <= bound
+
+    _, ran_plain, conv_plain = _numpy_delta_pagerank(n, edges, d, tol, 200)
+    assert conv_plain
+    assert res.ran_iterations < ran_plain

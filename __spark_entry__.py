@@ -1546,7 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate runs the FIRST
     50 entries in dict order (verified r02->r03: inserting ann_ivf_topk at
     position 36 evicted shortest_path from the recorded rows).  Round-4
-    rotation policy (80 registered queries, all green in the driver-identical
+    rotation policy (81 registered queries, all green in the driver-identical
     local gate at sf0.01 — `scripts/validate_entry.py`):
       positions 1-21  : the 21 queries that had never received a driver row
       positions 22-38 : queries green < 3 consecutive rounds

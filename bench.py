@@ -202,14 +202,23 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     # regression (20.6 -> 29.5 s) was this unamortized floor x 40 supersteps
     # plus run-order JIT noise, not a plan change: measured 21-33 s at K=1 vs
     # 14-15 s at K=4 on identical output (sum(score) = 4992.488494 in both).
+    # extrapolate_every=16: the plain recurrence does NOT reach tol 1e-6
+    # within this query's historical 40-iteration cap (measured: 40 iters,
+    # converged=False — the old row silently returned truncated ranks); the
+    # accelerated path converges in ~20 supersteps, so q5 now delivers what
+    # the pipeline promises (converged ranks) AND costs less.  Round-4
+    # comparability note in BENCH.md.
     cres = pr_ops.page_rank(
         cg,
         pr_ops.PageRankConfig(
-            tolerance=1e-6, max_iterations=40, checkpoint_every=CKPT_EVERY
+            tolerance=1e-6, max_iterations=40, checkpoint_every=CKPT_EVERY,
+            extrapolate_every=16,
         ),
     )
     cres.scores.agg(F.sum("score")).collect()
     times["q5_corpus_pipeline"] = time.time() - t0
+    extra["q5_pagerank_iters"] = cres.ran_iterations
+    extra["q5_pagerank_converged"] = bool(cres.did_converge)
 
     # -- q6: MinHash LSH dedup candidates over documents ---------------------
     # scheme="kmh": one md5 per word -> 16 derived bigint hashes (driver-

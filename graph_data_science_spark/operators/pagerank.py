@@ -66,8 +66,9 @@ class PageRankConfig:
     # cold-start deltas are nonnegative).
     seed_ranks: DataFrame | None = None
     # Aitken Δ² (Kamvar et al., "Extrapolation Methods for Accelerating
-    # PageRank Computations", WWW 2003) applied every N supersteps, at
-    # checkpoint boundaries where t % N == 0.  Delta-push makes this nearly
+    # PageRank Computations", WWW 2003) applied at the first checkpoint
+    # boundary at least N supersteps after the previous application (no
+    # divisibility coupling with checkpoint_every).  Delta-push makes this nearly
     # free: the window already carries the last two per-node deltas, so the
     # extrapolated vector  r* = rank + sign(δ_t)·min(δ_t²/(δ_{t-1}−δ_t),
     # d/(1−d)·|δ_t|)  costs one projection, and the loop restarts from r*
@@ -234,6 +235,7 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
     with no_aqe(spark):
         delta = None  # in-window chained (id, delta) stream; None = at boundary
         window: list = []
+        last_x = start_t  # superstep of the latest extrapolation (or start)
         for t in range(start_t + 1, cfg.max_iterations):
             # superstep t receives what superstep t-1 sent; on the initial
             # superstep every node sends regardless of tolerance
@@ -262,9 +264,11 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
             # senders read it from the same materialized state.
             do_x = (
                 cfg.extrapolate_every > 0
-                and t % cfg.extrapolate_every == 0
+                and t - last_x >= cfg.extrapolate_every
                 and t < cfg.max_iterations - 1
             )
+            if do_x:
+                last_x = t
             if not do_x:
                 rows = state.select(
                     "id", F.col("rank").alias("v"), F.lit(0).alias("last")

@@ -20,12 +20,16 @@ vsum), CONSTANT-size regardless of session length, so 10^9 keys cost ~40
 bytes each in the state store.  Closed sessions flush through
 EventTimeTimeout when the watermark passes session_end + gap.
 
-Exactness contract: per-key event times must not arrive older than an
-already-CLOSED session (standard watermark sessionization semantics —
-within-watermark late rows merge correctly into the open session; rows later
-than that would start a spurious new session).  The availableNow file-replay
-used by tests and the driver query is event-time-ordered, so the streaming
-result is bit-identical to the batch twin there.
+Exactness contract (standard watermark sessionization semantics): rows
+within the watermark merge EXACTLY — the open state is treated as an
+interval and linearly re-merged with the batch's gap segments, so a late
+segment can bridge sessions on either side of it; rows older than the
+watermark are dropped explicitly (Spark does not filter late input for
+arbitrary stateful ops the way it does for aggregations).  Sessions already
+flushed by a timeout are final — that is the watermark's contract, not a
+caveat of this operator.  The availableNow file-replay used by tests and
+the driver query is event-time-ordered, so the streaming result there is
+bit-identical to the batch twin.
 
 Reference anchor: the reference engine has no streaming surface at all
 (algorithms run on immutable in-memory snapshots, core/.../huge/HugeGraph.java);
@@ -41,7 +45,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructType
 
 _US_PER_MIN = 60_000_000
 
@@ -89,45 +92,80 @@ def _session_fn(gap_us: int, ts_col: str, value_col: str | None, key_col: str):
             if value_col
             else None
         )
+        # Spark does NOT filter sub-watermark rows for arbitrary stateful
+        # ops (unlike aggregations) — drop them here, or a too-late row
+        # could resurrect/corrupt an already-closed session
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > 0 and len(ts) and ts[0] < wm_us:
+            keep = ts >= wm_us
+            ts = ts[keep]
+            if vals is not None:
+                vals = vals[keep]
+        if len(ts) == 0 and not state.exists:
+            return
+        # NOTE: every invocation clears a previously-set timeout, so even
+        # the rows-all-late case must fall through to re-arm (or close) the
+        # open session below — returning early would leak the state forever.
 
-        closed = []
-        if state.exists:
-            n0, first0, last0, v0 = state.get
-        else:
-            n0 = 0
-
-        # vectorized gap segmentation of the sorted batch
+        # O(N) gap segmentation of the sorted batch (reduceat over break
+        # boundaries — no per-segment rescans)
         import numpy as np
 
-        brk = np.zeros(len(ts), dtype=bool)
-        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
-        seg = brk.cumsum()
-        out_n, out_first, out_last, out_v = [], [], [], []
-        for s in range(int(seg[-1]) + 1):
-            m = seg == s
-            out_n.append(int(m.sum()))
-            out_first.append(int(ts[m].min()))
-            out_last.append(int(ts[m].max()))
-            out_v.append(float(vals[m].sum()) if vals is not None else 0.0)
+        if len(ts):
+            brk = np.empty(len(ts), dtype=bool)
+            brk[0] = True
+            brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(ts)) - 1
+            seg_v = (
+                np.add.reduceat(vals, starts)
+                if vals is not None
+                else np.zeros(len(starts))
+            )
+            # (start_us, end_us, n, vsum) per maximal batch-local session
+            segs = [
+                (int(ts[s]), int(ts[e]), int(e - s + 1), float(v))
+                for s, e, v in zip(starts, ends, seg_v)
+            ]
+        else:
+            segs = []
 
-        i0 = 0
-        if n0:
-            if out_first[0] - last0 <= gap_us:
-                # batch's first segment continues the open session
-                out_n[0] += n0
-                out_first[0] = min(out_first[0], first0)
-                out_last[0] = max(out_last[0], last0)
-                out_v[0] += v0
-            else:
-                closed.append((k, first0, last0, n0, v0))
+        # within-watermark late rows: the open state is ITSELF an interval —
+        # insert it into the sorted segment list and linearly merge
+        # intervals whose gap is <= gap_us (a late segment can chain the
+        # state to segments on either side; merged end = max of ends, so a
+        # late segment inside the state's span folds in correctly)
+        if state.exists:
+            n0, first0, last0, v0 = state.get
+            import bisect
 
-        # every segment but the last is closed by construction
-        for j in range(len(out_n) - 1):
-            closed.append((k, out_first[j], out_last[j], out_n[j], out_v[j]))
-        j = len(out_n) - 1
-        state.update((out_n[j], out_first[j], out_last[j], out_v[j]))
-        # flush when the watermark passes the open session's gap horizon
-        state.setTimeoutTimestamp((out_last[j] + gap_us) // 1000)  # us -> ms
+            pos = bisect.bisect_left([s[0] for s in segs], first0)
+            segs.insert(pos, (first0, last0, n0, v0))
+            merged = [segs[0]]
+            for s in segs[1:]:
+                c = merged[-1]
+                if s[0] - c[1] <= gap_us:
+                    merged[-1] = (
+                        c[0], max(c[1], s[1]), c[2] + s[2], c[3] + s[3]
+                    )
+                else:
+                    merged.append(s)
+            segs = merged
+
+        closed = [(k, s[0], s[1], s[2], s[3]) for s in segs[:-1]]
+        first_o, last_o, n_o, v_o = segs[-1]
+
+        # flush when the watermark passes the open session's gap horizon;
+        # if the watermark is ALREADY past it (late rows arrived in the same
+        # batch that advanced it), close now — setTimeoutTimestamp rejects
+        # sub-watermark values with a query-killing error
+        horizon_ms = (last_o + gap_us) // 1000
+        if horizon_ms <= state.getCurrentWatermarkMs():
+            closed.append((k, first_o, last_o, n_o, v_o))
+            state.remove()
+        else:
+            state.update((n_o, first_o, last_o, v_o))
+            state.setTimeoutTimestamp(horizon_ms)
 
         if closed:
             yield rows_df(closed)
@@ -174,7 +212,9 @@ def sessionize_batch(
 
     gap_us = int(gap_minutes * _US_PER_MIN)
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    us = (F.col(ts_col).cast("double") * 1_000_000).cast("long")
+    # exact integer epoch-us (a double round-trip is off by ±1 us for
+    # modern epochs — enough to flip an exact-gap boundary)
+    us = F.unix_micros(F.col(ts_col))
     val = F.col(value_col) if value_col else F.lit(0.0)
     segmented = (
         df.select(F.col(key_col), F.col(ts_col), us.alias("_us"), val.alias("_v"))

@@ -8,6 +8,7 @@ Python DataSource API (Spark 4, `pyspark.sql.datasource`):
     register_warc(spark)
     pages.write.format("warc").mode("overwrite").save(path)      # sink
     spark.read.format("warc").load(path)                         # source
+    spark.readStream.format("warc").load(path)                   # stream (tail)
         -> (url string, warc_ts timestamp, html binary, record_id string)
 
 Reference parity: the reference engine ingests graphs from Neo4j store files
@@ -46,6 +47,7 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -231,6 +233,45 @@ class _WarcReader(DataSourceReader):
                 yield url, ts, html, rid
 
 
+class _WarcStreamReader(DataSourceStreamReader):
+    """Tail a directory of WARC segment files as a stream — the crawl-ingest
+    front end (`spark.readStream.format("warc").load(dir)` feeds
+    streaming/ingest.py unchanged).
+
+    Offsets: segment files are immutable and append-only (a crawler finishes
+    a segment, then drops it in), so an offset is simply the sorted list of
+    file names seen by that point; a micro-batch's partitions are the
+    files in `end` minus `start` — one InputPartition per new segment, same
+    parallel shape as the batch reader.  The offset payload grows with the
+    file count (fine for ~1e5 names); a production long-runner would compact
+    it to a high-water log index, which Spark's own file source also does.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream requires a path: .load('/dir/of/warcs')")
+        self.verify = options.get("verify_digest", "true").lower() != "false"
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": [os.path.basename(f) for f in _list_warc_files(self.path)]}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [_WarcPartition(os.path.join(self.path, f)) for f in new]
+
+    def read(self, partition: _WarcPartition):
+        with _open_warc(partition.file) as stream:
+            for url, ts, html, rid in parse_warc_stream(stream, self.verify):
+                yield url, ts, html, rid
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 @dataclass
 class _WarcCommit(WriterCommitMessage):
     file: str
@@ -247,18 +288,24 @@ class _WarcWriter(DataSourceWriter):
             for f in _list_warc_files(self.path):
                 os.remove(f)
         os.makedirs(self.path, exist_ok=True)
+        # append mode must not collide with segments from earlier jobs, so
+        # physical names carry a per-job nonce; the in-file warcinfo record
+        # uses the job-independent LOGICAL name, keeping segment bytes
+        # deterministic for identical input partitions.
+        self.job_id = uuid.uuid4().hex[:8]
 
     def write(self, rows) -> _WarcCommit:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}.warc.gz"
+        logical = f"part-{pid:05d}.warc.gz"
+        name = f"part-{pid:05d}-{self.job_id}.warc.gz"
         # unique temp name per attempt; committed by atomic rename below, so
         # a retried/speculative task never interleaves bytes with the winner
         tmp = os.path.join(self.path, f".{name}.{uuid.uuid4().hex}.tmp")
         n = 0
         with open(tmp, "wb") as out:
-            out.write(_gzip_member(build_warcinfo_record(name)))
+            out.write(_gzip_member(build_warcinfo_record(logical)))
             for row in rows:
                 html = row["html"]
                 html = bytes(html) if html is not None else b""
@@ -292,6 +339,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema):
         return _WarcReader(self.options)
+
+    def streamReader(self, schema):
+        return _WarcStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool):
         names = set(schema.fieldNames())

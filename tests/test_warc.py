@@ -143,6 +143,43 @@ def test_single_partition_file_is_byte_deterministic(spark, pages, tmp_path):
     assert open(fa, "rb").read() == open(fb, "rb").read()
 
 
+def test_stream_reader_tails_directory(spark, pages, tmp_path):
+    """readStream picks up each new segment exactly once across triggers."""
+    register_warc(spark)
+    src = str(tmp_path / "segments")
+    ckpt = str(tmp_path / "ckpt")
+    pages.limit(10).repartition(2).write.format("warc").mode("append").save(src)
+    q = (
+        spark.readStream.format("warc")
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("warc_stream_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["url"] for r in spark.table("warc_stream_sink").collect()}
+        assert len(first) == 10
+        # a new segment lands: ONLY its records arrive (no re-read of wave 1)
+        pages.limit(15).repartition(1).write.format("warc").mode("append").save(src)
+        q.processAllAvailable()
+        rows = spark.table("warc_stream_sink").collect()
+        assert len(rows) == 10 + 15  # 15 new rows, none of wave 1 duplicated
+        assert len({r["url"] for r in rows} ) == 15  # urls overlap by design
+    finally:
+        q.stop()
+
+
+def test_append_mode_accumulates_segments(spark, pages, tmp_path):
+    register_warc(spark)
+    out = str(tmp_path / "acc")
+    pages.repartition(2).write.format("warc").mode("append").save(out)
+    pages.repartition(2).write.format("warc").mode("append").save(out)
+    assert len(glob.glob(os.path.join(out, "*.warc.gz"))) == 4
+    assert spark.read.format("warc").load(out).count() == 80
+
+
 def test_warc_feeds_link_graph(spark, tmp_path):
     """The import seam composes: WARC -> extract links -> edge build."""
     from graph_data_science_spark.sources.edges import build_link_graph

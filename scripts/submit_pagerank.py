@@ -12,6 +12,8 @@ dependency zip and submit:
         [--src-col src --dst-col dst] [--tolerance 1e-6] [--max-iterations 100] \
         [--checkpoint-path /data/ckpt]   # durable: resumable mid-iteration
         [--extrapolate-every 16]         # Aitken-accelerated convergence
+        [--input-format warc-pages]      # --edges = dir of WARC segments:
+                                         # pages -> link extraction -> graph
 
 On a cluster the driver + executors resolve `graph_data_science_spark` from
 the shipped zip; no install step.  The same invocation at N and 4N executors
@@ -27,6 +29,14 @@ import json
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--edges", required=True, help="parquet path with edge rows")
+    p.add_argument(
+        "--input-format", choices=["edges-parquet", "warc-pages"],
+        default="edges-parquet",
+        help="edges-parquet: --edges is an (src,dst[,weight]) parquet table; "
+        "warc-pages: --edges is a directory of WARC segment files — pages are "
+        "read through the registered warc datasource, links extracted, and "
+        "the graph built in-job (the full Common-Crawl ingest path)",
+    )
     p.add_argument("--output", required=True, help="output path for (id, score)")
     p.add_argument("--src-col", default="src")
     p.add_argument("--dst-col", default="dst")
@@ -60,11 +70,21 @@ def main() -> None:
     if args.shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
 
-    cols = [F.col(args.src_col).alias("src"), F.col(args.dst_col).alias("dst")]
-    if args.weight_col:
-        cols.append(F.col(args.weight_col).alias("weight"))
-    edges = spark.read.parquet(args.edges).select(*cols)
-    g = LinkGraph.from_edges(spark, edges, aggregation=Aggregation.SINGLE)
+    if args.input_format == "warc-pages":
+        # the datasource class ships in the --py-files zip; executors
+        # unpickle it from there (no install step, same as the package)
+        from graph_data_science_spark.sources.edges import build_link_graph
+        from graph_data_science_spark.sources.warc import register_warc
+
+        register_warc(spark)
+        pages = spark.read.format("warc").load(args.edges)
+        g = build_link_graph(pages)
+    else:
+        cols = [F.col(args.src_col).alias("src"), F.col(args.dst_col).alias("dst")]
+        if args.weight_col:
+            cols.append(F.col(args.weight_col).alias("weight"))
+        edges = spark.read.parquet(args.edges).select(*cols)
+        g = LinkGraph.from_edges(spark, edges, aggregation=Aggregation.SINGLE)
 
     res = page_rank(
         g,

@@ -105,3 +105,55 @@ def test_modes_write_is_atomic(spark, tmp_path):
     assert out.count() == 8
     # ring graph => single component
     assert out.select("component").distinct().count() == 1
+
+
+def test_snapshot_history_and_time_travel(spark, tmp_path):
+    from graph_data_science_spark.sources.atomic import (
+        atomic_parquet_overwrite,
+        read_snapshot,
+        snapshot_history,
+    )
+
+    p = str(tmp_path / "snap")
+    for n in (3, 5, 7):
+        atomic_parquet_overwrite(spark.range(n), p, gc=False)
+    hist = snapshot_history(p)
+    assert len(hist) == 3
+    assert [h["is_current"] for h in hist] == [False, False, True]
+    assert (
+        hist[0]["committed_at_ns"]
+        <= hist[1]["committed_at_ns"]
+        <= hist[2]["committed_at_ns"]
+    )
+    # time travel to each retained version
+    assert read_snapshot(spark, p, hist[0]["version"]).count() == 3
+    assert read_snapshot(spark, p, hist[1]["version"]).count() == 5
+    assert read_snapshot(spark, p).count() == 7  # current
+
+    # default gc expires predecessors but never the current snapshot
+    atomic_parquet_overwrite(spark.range(9), p, gc=True)
+    hist2 = snapshot_history(p)
+    assert len(hist2) == 1 and hist2[0]["is_current"]
+    assert read_snapshot(spark, p).count() == 9
+    import pytest as _pt
+
+    with _pt.raises(KeyError, match="expired by gc"):
+        read_snapshot(spark, p, hist[0]["version"])
+
+
+def test_uncommitted_stage_is_not_history(spark, tmp_path):
+    """A version dir without the commit manifest (a crashed stage) must not
+    appear in history."""
+    import os
+
+    from graph_data_science_spark.sources.atomic import (
+        atomic_parquet_overwrite,
+        snapshot_history,
+        versions_root,
+    )
+
+    p = str(tmp_path / "snap2")
+    atomic_parquet_overwrite(spark.range(4), p)
+    os.makedirs(os.path.join(versions_root(p), "v_crashed_stage"))
+    hist = snapshot_history(p)
+    assert len(hist) == 1 and hist[0]["is_current"]

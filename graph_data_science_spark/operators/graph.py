@@ -270,6 +270,17 @@ class LinkGraph:
         self.edges = self.edges.cache()
         return self
 
+    # -- algorithm convenience (gds.<algo>.<mode> call-surface analog,
+    #    reference proc/catalog/*Proc.java single-call entry points) -----------
+    def run(self, algorithm: str, mode: str = "stream", **config):
+        """``g.run("pagerank", tolerance=1e-6)`` — one-call execution of any
+        registered algorithm under stream/stats/mutate/write semantics.
+        Delegates to :func:`operators.modes.run`; see that module for the
+        algorithm registry and per-mode return shapes."""
+        from graph_data_science_spark.operators.modes import run as _run
+
+        return _run(self, algorithm, mode, **config)
+
 
 def _w_src():
     from pyspark.sql.window import Window

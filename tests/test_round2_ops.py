@@ -480,3 +480,24 @@ def test_biased_walks_respect_pq_bias(spark):
     ]
     assert len(thirds) >= 2  # seeded: some 0-walks take the 0->1 branch
     assert all(t == 2 for t in thirds), thirds
+
+
+def test_linkgraph_run_convenience(spark):
+    """g.run(...) is the one-call gds.<algo>.<mode> surface and must return
+    exactly what operators.modes.run returns."""
+    from graph_data_science_spark.operators.modes import run
+
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (3, 0)])
+    df, meta = g.run("pagerank", max_iterations=5)  # default mode=stream
+    ref, _ = run(g, "pagerank", "stream", max_iterations=5)
+    assert set(df.columns) == {"id", "score"}
+    assert meta["estimate"]["planned_iterations"] == 5
+    got = {r["id"]: r["score"] for r in df.collect()}
+    want = {r["id"]: r["score"] for r in ref.collect()}
+    assert got == want
+
+    stats = g.run("wcc", "stats")
+    assert stats["communityCount"] == 1
+
+    with pytest.raises(ValueError):
+        g.run("nope")

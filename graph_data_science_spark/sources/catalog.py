@@ -30,11 +30,15 @@ class GraphCatalog:
         return os.path.join(self.base_path, name)
 
     # -- GraphStoreCatalog.set ------------------------------------------------
-    def save(self, name: str, graph: LinkGraph) -> dict:
+    def save(self, name: str, graph: LinkGraph, retain_history: bool = False) -> dict:
         """Atomic snapshot commit: nodes + edges + manifest are staged into a
         fresh version dir and published with one rename (sources/atomic.py),
         so a crash mid-save leaves the previous snapshot readable — the
-        NativeNodePropertyExporter transactional-write analog."""
+        NativeNodePropertyExporter transactional-write analog.
+
+        ``retain_history=True`` keeps predecessor snapshots (Iceberg
+        expire-snapshots semantics: GC is opt-out per save) so `history()`
+        lists them and `load(name, version=...)` time-travels."""
         from graph_data_science_spark.sources.atomic import atomic_publish_dir
 
         ns = self._ns(name)
@@ -53,15 +57,45 @@ class GraphCatalog:
             with open(os.path.join(staged, "manifest.json"), "w") as f:
                 json.dump(manifest, f)
 
-        atomic_publish_dir(ns, populate)
+        atomic_publish_dir(ns, populate, gc=not retain_history)
         return manifest
 
     # -- GraphStoreCatalog.get ------------------------------------------------
-    def load(self, name: str) -> LinkGraph:
+    def load(self, name: str, version: str | None = None) -> LinkGraph:
+        """Load the current snapshot of `name`, or (time travel) any retained
+        `version` from `history()`."""
         ns = self._ns(name)
+        if version is not None:
+            ns = self._version_path(name, version)
         nodes = self.spark.read.parquet(os.path.join(ns, "nodes"))
         edges = self.spark.read.parquet(os.path.join(ns, "edges"))
         return LinkGraph(nodes=nodes, edges=edges)
+
+    def _version_path(self, name: str, version: str) -> str:
+        from graph_data_science_spark.sources.atomic import snapshot_history
+
+        for meta in snapshot_history(self._ns(name)):
+            if meta["version"] == version:
+                return meta["path"]
+        raise KeyError(
+            f"graph {name!r} has no retained snapshot {version!r} (expired by "
+            "gc, or never committed — save with retain_history=True)"
+        )
+
+    def history(self, name: str) -> list[dict]:
+        """Committed snapshots of graph `name`, oldest first — each entry is
+        the atomic-writer snapshot record plus that version's manifest (the
+        Iceberg snapshot-log analog)."""
+        from graph_data_science_spark.sources.atomic import snapshot_history
+
+        out = []
+        for meta in snapshot_history(self._ns(name)):
+            mf = os.path.join(meta["path"], "manifest.json")
+            if os.path.isfile(mf):
+                with open(mf) as f:
+                    meta = {**meta, "manifest": json.load(f)}
+            out.append(meta)
+        return out
 
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._ns(name), "manifest.json"))

@@ -157,3 +157,25 @@ def test_uncommitted_stage_is_not_history(spark, tmp_path):
     os.makedirs(os.path.join(versions_root(p), "v_crashed_stage"))
     hist = snapshot_history(p)
     assert len(hist) == 1 and hist[0]["is_current"]
+
+
+def test_catalog_history_and_time_travel(spark, tmp_path):
+    """Graph-level snapshot log: retain_history keeps predecessors, history()
+    carries each version's manifest, load(name, version) time-travels."""
+    cat = GraphCatalog(spark, str(tmp_path / "cat"))
+    for n in (4, 6):
+        cat.save("g", _graph(spark, n), retain_history=True)
+    hist = cat.history("g")
+    assert len(hist) == 2
+    assert [h["is_current"] for h in hist] == [False, True]
+    assert [h["manifest"]["node_count"] for h in hist] == [4, 6]
+    old = cat.load("g", version=hist[0]["version"])
+    assert old.nodes.count() == 4 and old.edges.count() == 4
+    assert cat.load("g").nodes.count() == 6
+
+    # default save (retain_history=False) expires predecessors
+    cat.save("g", _graph(spark, 9))
+    hist2 = cat.history("g")
+    assert len(hist2) == 1 and hist2[0]["manifest"]["node_count"] == 9
+    with pytest.raises(KeyError, match="expired by gc"):
+        cat.load("g", version=hist[0]["version"])

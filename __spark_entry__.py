@@ -1648,6 +1648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       positions 47-50 : a 4-query rotation of the triple-green stable core
       positions 51-83 : the remaining triple-green stable queries, parked
                         this round (rotate back next round)
+    ROUND-5 PLAN (do this at the START of round 5, before any new queries):
+    move the 33 parked entries (node_similarity .. harmonic below) into
+    positions 1-33 so they regain driver-recorded rows, keep ~17 slots for
+    round-5 additions, park the round-4 cohort (it will hold fresh r04 rows).
     """
     return {
         # -- never driver-validated until round 4 --------------------------

@@ -138,3 +138,38 @@ def test_scc_matches_tarjan(spark, edges):
     for r in rows:
         got.setdefault(r["comp"], set()).add(r["id"])
     assert {frozenset(c) for c in got.values()} == _tarjan_scc_sets(clean)
+
+
+# -- snapshot-history retention property --------------------------------------
+
+save_plans = st.lists(
+    st.tuples(st.integers(1, 9), st.booleans()),  # (row_count, gc_flag)
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(**SETTINGS)
+@given(save_plans)
+def test_snapshot_history_retention_property(spark, tmp_path_factory, plan):
+    """For ANY sequence of saves, retained history == the suffix of versions
+    written since (and including) the last gc=True save; the newest is
+    current and readable counts replay the writes."""
+    from graph_data_science_spark.sources.atomic import (
+        atomic_parquet_overwrite,
+        read_snapshot,
+        snapshot_history,
+    )
+
+    p = str(tmp_path_factory.mktemp("snapprop") / "t")
+    written = []  # row_count per committed version, oldest first
+    for n, gc in plan:
+        atomic_parquet_overwrite(spark.range(n), p, gc=gc)
+        written.append(n)
+        if gc:
+            written = written[-1:]  # gc keeps only the current version
+    hist = snapshot_history(p)
+    assert [h["is_current"] for h in hist] == [False] * (len(hist) - 1) + [True]
+    got = [read_snapshot(spark, p, h["version"]).count() for h in hist]
+    assert got == written
+    assert read_snapshot(spark, p).count() == plan[-1][0]

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
-from graph_data_science_spark.session import no_aqe
+from graph_data_science_spark.session import cache_copartitioned, no_aqe
 
 
 @dataclass
@@ -70,9 +70,8 @@ def k1coloring(graph: LinkGraph, cfg: Optional[K1ColoringConfig] = None) -> K1Co
         .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition(n_part, "src")
-        .cache()
     )
+    sym = cache_copartitioned(sym, n_part, "src")
 
     state = graph.nodes.select("id", F.lit(0).cast("long").alias("color"))
     state = ckpt.checkpoint(state, 0)

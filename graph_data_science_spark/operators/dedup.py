@@ -127,9 +127,19 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     scheme: str = "salted-md5",
+    signatures: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """doc1 < doc2 pairs sharing at least one MinHash band bucket."""
-    sig = minhash_signatures(docs, bands * rows_per_band, scheme=scheme)
+    """doc1 < doc2 pairs sharing at least one MinHash band bucket.
+
+    `signatures`: a precomputed `minhash_signatures` frame (doc_id,
+    h0..h{bands*rows_per_band-1}).  Callers that also need the signatures
+    themselves (the Jaccard estimate, any banding sweep) MUST pass their
+    cached frame here — otherwise the md5 pass over every word of every
+    document runs twice, and at 10^12 documents that pass IS the job.
+    """
+    sig = signatures
+    if sig is None:
+        sig = minhash_signatures(docs, bands * rows_per_band, scheme=scheme)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -153,7 +163,13 @@ def minhash_jaccard_estimate(docs: DataFrame, num_hashes: int = 16) -> DataFrame
     """All LSH-candidate pairs with the signature-agreement Jaccard estimate:
     doc1, doc2, est_jaccard = (#equal minhashes) / num_hashes."""
     sig = minhash_signatures(docs, num_hashes).cache()
-    pairs = lsh_candidate_pairs(docs, bands=num_hashes // 4, rows_per_band=4)
+    # one signature pass: the banding below reuses the cached frame (passing
+    # docs alone would recompute every per-word md5 a second time — a full
+    # corpus scan the cache cannot serve, because lsh_candidate_pairs would
+    # build a different DataFrame lineage)
+    pairs = lsh_candidate_pairs(
+        docs, bands=num_hashes // 4, rows_per_band=4, signatures=sig
+    )
     s1 = sig.select(F.col(ID_COL).alias("doc1"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)])
     s2 = sig.select(F.col(ID_COL).alias("doc2"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)])
     j = pairs.join(s1, "doc1").join(s2, "doc2")

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph
+from graph_data_science_spark.session import cache_copartitioned
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
 
 SQRT3 = math.sqrt(3.0)
@@ -76,9 +77,8 @@ def fastrp(graph: LinkGraph, cfg: Optional[FastRPConfig] = None) -> FastRPResult
         .unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition(n_part, "dst")
-        .cache()
     )
+    sym = cache_copartitioned(sym, n_part, "dst")
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 
     # sparse seeded base vectors: P(+sqrt3)=1/6, P(0)=2/3, P(-sqrt3)=1/6,

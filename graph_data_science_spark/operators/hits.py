@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
-from graph_data_science_spark.session import no_aqe
+from graph_data_science_spark.session import cache_copartitioned, no_aqe
 
 
 @dataclass
@@ -53,7 +53,9 @@ def hits(graph: LinkGraph, cfg: Optional[HitsConfig] = None) -> HitsResult:
 
     ckpt.log(0, estimate=cost_report("hits", graph.nodes, graph.edges, cfg.hits_iterations, state_cols=3))
 
-    edges = graph.edges.select("src", "dst").distinct().repartition(n_part, "src").cache()
+    edges = cache_copartitioned(
+        graph.edges.select("src", "dst").distinct(), n_part, "src"
+    )
     state = graph.nodes.select("id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
     state = ckpt.checkpoint(state, 0)
 

@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
-from graph_data_science_spark.session import no_aqe
+from graph_data_science_spark.session import cache_copartitioned, no_aqe
 
 
 @dataclass
@@ -107,7 +107,9 @@ def label_propagation(
     else:
         edges = edges.withColumn("node_w", F.lit(1.0))
     vote_w = (F.col("weight") if cfg.weighted else F.lit(1.0)) * F.col("node_w")
-    edges = edges.select("src", "dst", vote_w.alias("vote")).repartition(n_part, "dst").cache()
+    edges = cache_copartitioned(
+        edges.select("src", "dst", vote_w.alias("vote")), n_part, "dst"
+    )
 
     # resume (north rule: every superstep resumable mid-iteration): the sync
     # update is a deterministic function of the previous label state, so

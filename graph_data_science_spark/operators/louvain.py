@@ -46,6 +46,12 @@ class LouvainConfig:
     max_inner_iterations: int = 10
     tolerance: float = 1e-4  # min modularity improvement to start a new level
     checkpoint_path: Optional[str] = None
+    # retain the per-level dendrogram (Louvain.java:90-140 keeps a
+    # HugeLongArray per level; includeIntermediateCommunities in the proc
+    # config).  The per-level assignments are already checkpointed as
+    # `louvain_assign` — this only keeps their handles and joins them at
+    # the end, so the extra cost is one k-way join of (id, long) frames.
+    include_intermediate: bool = False
 
 
 @dataclass
@@ -55,6 +61,9 @@ class LouvainResult:
     modularities: list  # per level
     ran_levels: int
     metrics: list = field(default_factory=list)
+    # id, intermediate_communities array<long> (one entry per ran level;
+    # last element == final community) when include_intermediate
+    intermediate_communities: Optional[DataFrame] = None
 
 
 def _canonical_weighted(graph: LinkGraph) -> DataFrame:
@@ -219,6 +228,7 @@ def louvain(graph: LinkGraph, cfg: Optional[LouvainConfig] = None) -> LouvainRes
     # node -> community composed across levels
     assignment = nodes.select("id", F.col("id").alias("community"))
     modularities: list[float] = []
+    level_assignments: list[DataFrame] = []  # composed per-level (dendrogram)
     ran_levels = 0
     t0 = time.time()
 
@@ -236,6 +246,8 @@ def louvain(graph: LinkGraph, cfg: Optional[LouvainConfig] = None) -> LouvainRes
             .select("id", F.col("new_comm").alias("community"))
         )
         assignment = ckpt.checkpoint(assignment, level, name="louvain_assign")
+        if cfg.include_intermediate:
+            level_assignments.append(assignment)
         ran_levels = level
         if modularities and q - modularities[-1] < cfg.tolerance:
             modularities.append(q)
@@ -265,4 +277,24 @@ def louvain(graph: LinkGraph, cfg: Optional[LouvainConfig] = None) -> LouvainRes
 
     edges.unpersist()
     final_q = modularities[-1] if modularities else 0.0
-    return LouvainResult(assignment, final_q, modularities, ran_levels, ckpt.metrics)
+    intermediate = None
+    if cfg.include_intermediate and level_assignments:
+        # dendrogram join: each element is already COMPOSED down to original
+        # node ids (Louvain.java:90-140 parity — its dendrogram stores the
+        # per-level community of every original node, not the coarse node),
+        # so level k is a refinement history: equal at level i => equal at
+        # every later level.  k <= max_levels (10) joins of (id, long) rows.
+        intermediate = nodes
+        for i, a in enumerate(level_assignments):
+            intermediate = intermediate.join(
+                a.select("id", F.col("community").alias(f"_c{i}")), "id"
+            )
+        intermediate = intermediate.select(
+            "id",
+            F.array(*[F.col(f"_c{i}") for i in range(len(level_assignments))]
+                    ).alias("intermediate_communities"),
+        )
+    return LouvainResult(
+        assignment, final_q, modularities, ran_levels, ckpt.metrics,
+        intermediate_communities=intermediate,
+    )

@@ -36,7 +36,7 @@ class AlgoSpec:
     run: Callable[[LinkGraph, dict], Any]  # -> result object or DataFrame
     result_df: Callable[[Any], DataFrame]  # extract (id, <value_col>) DF
     value_col: str
-    kind: str  # 'community' | 'centrality'
+    kind: str  # 'community' | 'centrality' | 'embedding' | 'relationship'
     # which config key carries the planned iteration count for the cost
     # report, and its algorithm default (each wrapped algorithm names its
     # loop bound differently: max_iterations / max_rounds / hits_iterations /
@@ -201,6 +201,172 @@ def _maxkcut():
     )
 
 
+def _node_vectors(graph: LinkGraph, cfg: dict, default_prop: str = "embedding"):
+    """(property-bearing nodes DF, remaining config) for vector algorithms.
+
+    The reference's kmeans/knn run on a node property selected by
+    `nodeProperty` config (proc/.../KmeansStreamProc.java et al.); here the
+    property column lives on `graph.nodes` and `node_property` names it.
+    """
+    prop = cfg.pop("node_property", default_prop)
+    if prop not in graph.nodes.columns:
+        raise ValueError(
+            f"node property {prop!r} not on graph.nodes "
+            f"(have {graph.nodes.columns}); pass node_property=<col>"
+        )
+    return graph.nodes.select("id", prop), cfg
+
+
+def _kmeans():
+    from graph_data_science_spark.operators import kmeans as km
+
+    def run(g, cfg):
+        vecs, cfg = _node_vectors(g, dict(cfg))
+        prop = vecs.columns[1]
+        return km.kmeans(vecs, km.KmeansConfig(**cfg), id_col="id", vec_col=prop)
+
+    return AlgoSpec(
+        run,
+        lambda r: r.assignments.withColumnRenamed("cluster", "communityId"),
+        "communityId",
+        "community",
+        default_iters=10,
+    )
+
+
+def _k1coloring():
+    from graph_data_science_spark.operators import coloring as col
+
+    return AlgoSpec(
+        lambda g, cfg: col.k1coloring(g, col.K1ColoringConfig(**cfg) if cfg else None),
+        lambda r: r.colors,
+        "color",
+        "community",
+    )
+
+
+def _node_similarity():
+    from graph_data_science_spark.operators import similarity as sim
+
+    class _R:
+        def __init__(self, df):
+            self.df = df
+            self.metrics = []
+
+    return AlgoSpec(
+        lambda g, cfg: _R(sim.node_similarity(g, **cfg)),
+        lambda r: r.df.select(
+            F.col("node1").alias("src"), F.col("node2").alias("dst"),
+            F.col("similarity").alias("weight"),
+        ),
+        "weight",
+        "relationship",
+        iter_key=None,
+        default_iters=1,
+    )
+
+
+def _knn():
+    from graph_data_science_spark.operators import ann
+
+    class _R:
+        def __init__(self, df):
+            self.df = df
+            self.metrics = []
+
+    def run(g, cfg):
+        vecs, cfg = _node_vectors(g, dict(cfg))
+        prop = vecs.columns[1]
+        return _R(ann.knn(vecs, id_col="id", vec_col=prop, **cfg))
+
+    return AlgoSpec(
+        run,
+        lambda r: r.df.select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"),
+            F.col("cosine").alias("weight"),
+        ),
+        "weight",
+        "relationship",
+        iter_key="rounds",
+        default_iters=2,
+    )
+
+
+def _fastrp():
+    from graph_data_science_spark.operators import fastrp as fr
+
+    return AlgoSpec(
+        lambda g, cfg: fr.fastrp(g, fr.FastRPConfig(**cfg) if cfg else None),
+        lambda r: r.embeddings,
+        "embedding",
+        "embedding",
+        iter_key=None,
+        default_iters=3,
+    )
+
+
+def _node2vec():
+    from graph_data_science_spark.operators import node2vec as n2v
+
+    return AlgoSpec(
+        lambda g, cfg: n2v.node2vec(g, n2v.Node2VecConfig(**cfg) if cfg else None),
+        lambda r: r.embeddings,
+        "embedding",
+        "embedding",
+        iter_key="iterations",
+        default_iters=1,
+    )
+
+
+def _graphsage():
+    from graph_data_science_spark.operators import graphsage as gs
+
+    def run(g, cfg):
+        cfg = dict(cfg)
+        prop = cfg.pop("feature_property", "features")
+        if prop not in g.nodes.columns:
+            raise ValueError(
+                f"feature property {prop!r} not on graph.nodes; "
+                "pass feature_property=<col>"
+            )
+        feats = g.nodes.select("id", F.col(prop).alias("features"))
+        return gs.graphsage_train(g, feats, gs.GraphSageConfig(**cfg))
+
+    return AlgoSpec(run, lambda r: r.embeddings, "embedding", "embedding",
+                    iter_key="epochs", default_iters=1)
+
+
+def _sssp():
+    from graph_data_science_spark.operators import paths as p
+
+    return AlgoSpec(
+        lambda g, cfg: p.sssp_delta(g, **cfg),
+        lambda r: r.distances,
+        "distance",
+        "centrality",
+        iter_key="max_rounds",
+        default_iters=100,
+    )
+
+
+def _bfs():
+    from graph_data_science_spark.operators import paths as p
+
+    class _R:
+        def __init__(self, df):
+            self.df = df
+            self.metrics = []
+
+    return AlgoSpec(
+        lambda g, cfg: _R(p.bfs(g, **cfg)),
+        lambda r: r.df,
+        "hops",
+        "centrality",
+        iter_key="max_depth",
+        default_iters=32,
+    )
+
+
 _ALGOS: dict[str, Callable[[], AlgoSpec]] = {
     "pagerank": lambda: _pagerank("pagerank"),
     "articlerank": lambda: _pagerank("articlerank"),
@@ -216,12 +382,49 @@ _ALGOS: dict[str, Callable[[], AlgoSpec]] = {
     "harmonic": lambda: _closeness(True),
     "betweenness": _betweenness,
     "maxkcut": _maxkcut,
+    "kmeans": _kmeans,
+    "k1coloring": _k1coloring,
+    "node_similarity": _node_similarity,
+    "knn": _knn,
+    "fastrp": _fastrp,
+    "node2vec": _node2vec,
+    "graphsage": _graphsage,
+    "sssp": _sssp,
+    "bfs": _bfs,
 }
 
-MODES = ("stream", "stats", "mutate", "write")
+MODES = ("stream", "stats", "mutate", "write", "estimate")
 
 
 def _stats_row(df: DataFrame, value_col: str, kind: str) -> dict:
+    if kind == "embedding":
+        # FastRP/node2vec/GraphSAGE stats mode reports counts, not value
+        # histograms (reference stats procs return nodeCount + timings only
+        # for embeddings — there is no scalar to histogram)
+        row = df.agg(
+            F.count(F.lit(1)).alias("nodeCount"),
+            F.max(F.size(value_col)).alias("embeddingDimension"),
+        ).collect()[0]
+        return {"nodeCount": row["nodeCount"],
+                "embeddingDimension": row["embeddingDimension"]}
+    if kind == "relationship":
+        # SimilarityStatistics.java analog: distribution of the pair scores
+        row = df.agg(
+            F.count(F.lit(1)).alias("relationshipCount"),
+            F.min(value_col).alias("min"),
+            F.max(value_col).alias("max"),
+            F.avg(value_col).alias("mean"),
+            F.expr(
+                f"percentile_approx({value_col}, "
+                "array(0.01, 0.25, 0.5, 0.75, 0.9, 0.99), 10000)"
+            ).alias("p"),
+        ).collect()[0]
+        keys = ["p1", "p25", "p50", "p75", "p90", "p99"]
+        return {
+            "relationshipCount": row["relationshipCount"],
+            "min": row["min"], "max": row["max"], "mean": row["mean"],
+            **dict(zip(keys, row["p"])),
+        }
     if kind == "community":
         from graph_data_science_spark.operators.community import community_stats
 
@@ -267,6 +470,20 @@ def run(
         if spec.iter_key
         else spec.default_iters
     )
+    if mode == "estimate":
+        # the `.estimate` twin (every reference proc ships one,
+        # executor/.../MemoryUsageValidator.java): forecast WITHOUT running.
+        # Exact counts, per-algorithm state/message widths — see
+        # plans/estimate.py ALGO_ESTIMATES.
+        from graph_data_science_spark.plans.estimate import algorithm_estimate
+
+        return algorithm_estimate(
+            algorithm,
+            graph.node_count(),
+            graph.relationship_count(),
+            iterations=int(config[spec.iter_key]) if spec.iter_key and spec.iter_key in config else None,
+            embedding_dimension=int(config.get("embedding_dimension", 64)),
+        )
     est = cost_report(algorithm, graph.nodes, graph.edges, planned)
     result = spec.run(graph, config)
     df = spec.result_df(result)
@@ -283,6 +500,15 @@ def run(
     if mode == "stats":
         return {**meta, **_stats_row(df, spec.value_col, spec.kind)}
     if mode == "mutate":
+        if spec.kind == "relationship":
+            # mutateRelationshipType analog: the similarity pairs become a
+            # new weighted relationship set on an otherwise-unchanged graph
+            mutated = LinkGraph(
+                nodes=graph.nodes,
+                edges=df.select("src", "dst", "weight"),
+                orientation=graph.orientation,
+            )
+            return mutated, meta
         prop = mutate_property or spec.value_col
         mutated = LinkGraph(
             nodes=graph.nodes.join(

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
-from graph_data_science_spark.session import no_aqe
+from graph_data_science_spark.session import cache_copartitioned, no_aqe
 
 
 @dataclass
@@ -121,7 +121,13 @@ def _out_shares(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Data
     )
     sp = edges.sparkSession
     n_part = int(sp.conf.get("spark.sql.shuffle.partitions"))
-    return shares.repartition(n_part, "src").cache()
+    # cache_copartitioned pins a static (non-AQE) cached plan so the
+    # HashPartitioning(src, n_part) stays visible to the superstep join —
+    # an AQE-wrapped cache is opaque to EnsureRequirements, which re-shuffled
+    # the ENTIRE edge-share table on src every superstep (measured on the
+    # window chain).  With it, the only per-superstep exchange is the message
+    # aggregation on dst — the one shuffle message passing requires.
+    return cache_copartitioned(shares, n_part, "src")
 
 
 def page_rank(graph: LinkGraph, cfg: PageRankConfig | None = None) -> CentralityResult:

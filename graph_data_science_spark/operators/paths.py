@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
-from graph_data_science_spark.session import no_aqe
+from graph_data_science_spark.session import cache_copartitioned, no_aqe
 
 
 def collapse_path(graph: LinkGraph, other: Optional[LinkGraph] = None) -> DataFrame:
@@ -167,8 +167,8 @@ def sssp_delta(
     ckpt = SuperstepCheckpointer(spark, checkpoint_path)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     w = F.col("weight") if weighted else F.lit(1.0)
-    edges = (
-        graph.edges.select("src", "dst", w.alias("w")).repartition(n_part, "src").cache()
+    edges = cache_copartitioned(
+        graph.edges.select("src", "dst", w.alias("w")), n_part, "src"
     )
 
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, distance double")

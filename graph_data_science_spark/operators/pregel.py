@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
-from graph_data_science_spark.session import no_aqe
+from graph_data_science_spark.session import cache_copartitioned, no_aqe
 
 REDUCERS = {
     "sum": F.sum,
@@ -112,10 +112,8 @@ def run_pregel(
     ckpt.log(0, estimate=cost_report("pregel", graph.nodes, graph.edges, cfg.max_iterations))
 
     reducer = REDUCERS[comp.reducer]
-    edges = (
-        graph.oriented_edges(cfg.orientation)
-        .repartition(n_part, "src")
-        .cache()
+    edges = cache_copartitioned(
+        graph.oriented_edges(cfg.orientation), n_part, "src"
     )
 
     state = comp.init(graph.nodes)

@@ -23,6 +23,14 @@ from pyspark.sql.window import Window
 
 from graph_data_science_spark.operators.graph import LinkGraph, Orientation
 
+# the co-neighbor self-join creates |in(d)|^2 candidate pairs per shared
+# target d — a single million-in-degree hub ("privacy policy" linked from
+# every page) is 10^12 pairs before any cutoff can prune.  Above this
+# in-degree the default refuses instead of silently scheduling that join
+# (same guard discipline as ann.knn_properties / betweenness.guard_all_sources).
+HUB_IN_DEGREE_LIMIT = 10_000
+_AUTO = "auto"
+
 
 def node_similarity(
     graph: LinkGraph,
@@ -32,16 +40,37 @@ def node_similarity(
     degree_cutoff: int = 1,
     similarity_cutoff: float = 1e-42,
     orientation: Orientation = Orientation.NATURAL,
-    max_degree: Optional[int] = None,
+    max_degree: "Optional[int] | str" = _AUTO,
 ) -> DataFrame:
-    """Rows: node1, node2, similarity (node1's topK most similar neighbors)."""
+    """Rows: node1, node2, similarity (node1's topK most similar neighbors).
+
+    `max_degree` (hub protection for the co-neighbor self-join):
+      - "auto" (default): probe the max target in-degree (one aggregate over
+        the already-needed in-degree frame); refuse with guidance if any
+        target exceeds HUB_IN_DEGREE_LIMIT — a hub d contributes |in(d)|^2
+        pairs, so the default must not silently schedule a quadratic join.
+      - int: drop targets with in-degree > max_degree (reference semantics
+        allow bounding: nodesim's own topK bounds per-node output).
+      - None: explicit opt-out, no probe, no cap (small/trusted graphs).
+    """
     edges = graph.oriented_edges(orientation).select("src", "dst").distinct()
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.where(F.col("deg") >= degree_cutoff)
     edges = edges.join(deg, "src")
 
-    if max_degree is not None:
+    if max_degree == _AUTO:
+        in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+        hub = in_deg.agg(F.max("in_deg").alias("m")).first()["m"]
+        if hub is not None and hub > HUB_IN_DEGREE_LIMIT:
+            raise ValueError(
+                f"node_similarity: a target node has in-degree {hub} > "
+                f"{HUB_IN_DEGREE_LIMIT}; the co-neighbor self-join would "
+                f"materialize ~{hub}^2 pairs for it. Pass max_degree=<cap> "
+                "to drop hub targets (bounded, recommended) or "
+                "max_degree=None to run uncapped anyway."
+            )
+    elif max_degree is not None:
         in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
         edges = edges.join(
             in_deg.where(F.col("in_deg") <= max_degree).select("dst"), "dst", "left_semi"

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from graph_data_science_spark.operators.graph import LinkGraph
 from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
-from graph_data_science_spark.session import no_aqe
+from graph_data_science_spark.session import cache_copartitioned, no_aqe
 
 
 @dataclass
@@ -83,9 +83,8 @@ def wcc(graph: LinkGraph, cfg: WccConfig | None = None) -> WccResult:
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition(n_part, "src")
-        .cache()
     )
+    sym = cache_copartitioned(sym, n_part, "src")
 
     # comp(id) := id; changed := true.  Seeds are applied as a post-pass (see
     # below): pointer jumping (comp := comp[comp]) indexes the comp table by

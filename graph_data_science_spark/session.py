@@ -34,6 +34,24 @@ def no_aqe(spark: SparkSession):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def cache_copartitioned(df, num_partitions: int, *keys: str):
+    """``df.repartition(num_partitions, *keys).cache()`` whose partitioning
+    stays VISIBLE to downstream joins.
+
+    ``cache()`` compiles the cached physical plan at registration time; under
+    AQE that plan is wrapped in an AdaptiveSparkPlan whose output partitioning
+    is opaque to EnsureRequirements, so every superstep join against the cache
+    re-Exchanges the entire cached table on the join key (measured on the
+    PageRank window chain: one full hashpartitioning(src) shuffle of all |E|
+    edge rows PER SUPERSTEP).  Registering the cache with AQE off pins a
+    static plan whose HashPartitioning(keys, num_partitions) the optimizer can
+    line up with the other join side, so iterative loops read the cache in
+    place and pay only the one exchange message passing actually requires.
+    """
+    with no_aqe(df.sparkSession):
+        return df.repartition(num_partitions, *keys).cache()
+
+
 def get_spark(
     app_name: str = "graph-data-science-spark",
     master: str | None = None,

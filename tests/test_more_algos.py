@@ -127,3 +127,36 @@ def test_split_relationships(spark):
     assert sorted(map(tuple, out["test_pos"].collect())) == sorted(
         map(tuple, out2["test_pos"].collect())
     )
+
+
+def test_louvain_intermediate_communities(spark):
+    """Dendrogram parity (Louvain.java:90-140): per-level assignments are
+    retained, compose to the final assignment, and only ever MERGE across
+    levels (coarsening refinement history)."""
+    g = LinkGraph.from_edges(spark, TWO_CLIQUES)
+    res = louvain(g, LouvainConfig(max_levels=3, include_intermediate=True))
+    assert res.intermediate_communities is not None
+    rows = {
+        r["id"]: r["intermediate_communities"]
+        for r in res.intermediate_communities.collect()
+    }
+    final = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert set(rows) == set(final)
+    n_levels = res.ran_levels
+    for i, levels in rows.items():
+        assert len(levels) == n_levels
+        # level-k assignment composes to the final assignment
+        assert levels[-1] == final[i]
+    # merge monotonicity: same community at level k => same at every level > k
+    ids = sorted(rows)
+    for k in range(n_levels - 1):
+        for a in ids:
+            for b in ids:
+                if rows[a][k] == rows[b][k]:
+                    assert rows[a][k + 1] == rows[b][k + 1]
+
+
+def test_louvain_default_skips_dendrogram(spark):
+    g = LinkGraph.from_edges(spark, TWO_CLIQUES)
+    res = louvain(g, LouvainConfig(max_levels=2))
+    assert res.intermediate_communities is None

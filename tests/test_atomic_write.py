@@ -159,6 +159,95 @@ def test_uncommitted_stage_is_not_history(spark, tmp_path):
     assert len(hist) == 1 and hist[0]["is_current"]
 
 
+def test_crash_between_stamp_and_publish_is_not_history(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r4: a version dir that was stamped but never published (crash
+    between _stamp and the os.replace commit) must NOT appear as committed
+    history — commit membership comes from the post-publish log, not from
+    the staged manifest."""
+    p = str(tmp_path / "snapA")
+    atomic.atomic_parquet_overwrite(spark.range(4), p, gc=False)
+
+    def boom(path, staged):
+        raise RuntimeError("injected crash after stamp, before commit")
+
+    monkeypatch.setattr(atomic, "_publish", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        atomic.atomic_parquet_overwrite(spark.range(9), p, gc=False)
+    monkeypatch.undo()
+    hist = atomic.snapshot_history(p)
+    assert len(hist) == 1 and hist[0]["is_current"]  # no phantom commit
+    # the orphaned-but-stamped dir exists on disk yet is invisible
+    vdirs = [
+        d for d in os.listdir(atomic.versions_root(p)) if d.startswith("v_")
+    ]
+    assert len(vdirs) == 2
+
+
+def test_torn_manifest_does_not_break_history(spark, tmp_path):
+    """ADVICE r4: an unreadable _SNAPSHOT.json (crash mid-write by an old
+    writer) must not raise out of snapshot_history — and if it belongs to
+    the published current version, the pointer is proof of commit."""
+    p = str(tmp_path / "snapB")
+    atomic.atomic_parquet_overwrite(spark.range(3), p, gc=False)
+    atomic.atomic_parquet_overwrite(spark.range(5), p, gc=False)
+    hist = atomic.snapshot_history(p)
+    assert len(hist) == 2
+    # tear the CURRENT version's manifest: still committed (pointer proves it)
+    cur = [h for h in hist if h["is_current"]][0]
+    with open(os.path.join(cur["path"], "_SNAPSHOT.json"), "w") as fh:
+        fh.write('{"version": "tor')  # torn mid-write
+    hist2 = atomic.snapshot_history(p)
+    assert [h["version"] for h in hist2] == [h["version"] for h in hist]
+    assert hist2[-1]["is_current"]
+    assert atomic.read_snapshot(spark, p, hist2[0]["version"]).count() == 3
+
+
+def test_legacy_current_without_manifest_is_visible(spark, tmp_path):
+    """ADVICE r4: a snapshot committed by a pre-history writer (no manifest,
+    no commit log) must still surface as the current committed version."""
+    p = str(tmp_path / "snapC")
+    root = atomic.versions_root(p)
+    os.makedirs(root)
+    legacy = os.path.join(root, "v_legacyabc")
+    spark.range(6).write.parquet(legacy)
+    os.symlink(legacy, p)  # a pre-upgrade published pointer
+    hist = atomic.snapshot_history(p)
+    assert len(hist) == 1
+    assert hist[0]["is_current"] and hist[0]["version"] == "v_legacyabc"
+    assert atomic.read_snapshot(spark, p, "v_legacyabc").count() == 6
+    # first post-upgrade commit starts the log; legacy current stays visible
+    atomic.atomic_parquet_overwrite(spark.range(2), p, gc=False)
+    hist2 = atomic.snapshot_history(p)
+    assert [h["version"] for h in hist2][0] == "v_legacyabc"  # ordered first
+    assert hist2[-1]["is_current"] and hist2[-1]["seq"] >= 1
+
+
+def test_history_orders_by_monotonic_seq_not_wall_clock(spark, tmp_path):
+    """ADVICE r4: ordering key is the commit log's monotonic seq; a clock
+    step that scrambles committed_at_ns must not reorder history."""
+    import json as _json
+
+    p = str(tmp_path / "snapD")
+    for n in (1, 2, 3):
+        atomic.atomic_parquet_overwrite(spark.range(n), p, gc=False)
+    hist = atomic.snapshot_history(p)
+    assert [h["seq"] for h in hist] == [1, 2, 3]
+    # simulate an NTP step: rewrite the log with scrambled timestamps
+    logf = os.path.join(atomic.versions_root(p), "_COMMITS.jsonl")
+    with open(logf) as fh:
+        recs = [_json.loads(line) for line in fh]
+    ts = [r["committed_at_ns"] for r in recs]
+    for r, t in zip(recs, reversed(ts)):
+        r["committed_at_ns"] = t
+    with open(logf, "w") as fh:
+        fh.writelines(_json.dumps(r) + "\n" for r in recs)
+    hist2 = atomic.snapshot_history(p)
+    assert [h["seq"] for h in hist2] == [1, 2, 3]  # unchanged order
+    assert [h["version"] for h in hist2] == [h["version"] for h in hist]
+
+
 def test_catalog_history_and_time_travel(spark, tmp_path):
     """Graph-level snapshot log: retain_history keeps predecessors, history()
     carries each version's manifest, load(name, version) time-travels."""

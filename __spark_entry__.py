@@ -1628,6 +1628,62 @@ def q_knn_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
 
 
+def q_wcc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-mode row through the one-call `run` surface
+    (WccStatsProc analog, proc/community/.../wcc/WccStatsProc.java):
+    component count + size min/max/mean from `run(g, "wcc", mode="stats")`.
+    mean = node_count / component_count exactly (sizes are small integers,
+    so the double sum is order-independent and both engines agree)."""
+    from graph_data_science_spark.operators import modes as modes_ops
+
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    st = modes_ops.run(g, "wcc", mode="stats")
+    return spark.createDataFrame(
+        [(int(st["communityCount"]), int(st["min"]), int(st["max"]),
+          float(st["mean"]))],
+        "component_count long, min_size long, max_size long, mean_size double",
+    )
+
+
+def q_graph_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random graph generator (RandomGraphGenerator.java:58,96-108
+    parity): UNIFORM degree distribution + a random relationship property,
+    full edge-list replay.  Every value is md5-hex-prefix arithmetic on
+    (src, k, tag, seed) — u = h/2^24 is an exact double in both engines."""
+    from graph_data_science_spark.sources import generator as gen_ops
+
+    return gen_ops.generate_graph(
+        spark, node_count=500, average_degree=6, distribution="UNIFORM",
+        seed=42, properties=[gen_ops.random_property("w", 0.0, 1.0)],
+    )
+
+
+def _documents_with_triple_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus TWO injected exact duplicates per doc_id%5==0 — the
+    triples land three-deep in every MinHash band bucket, so a
+    max_bucket_size=2 cap visibly rewires all-pairs into a star."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    dup1 = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    dup2 = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup1).unionByName(dup2)
+
+
+def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs under the hot-bucket guard: band buckets over
+    max_bucket_size=2 emit a star to their min-doc representative instead of
+    all-pairs (the quadratic-skew cap; every doc still appears in >=1 pair).
+    The oracle replays the cap with window functions."""
+    docs = _documents_with_triple_dups(spark, sf_dir)
+    return dedup_ops.lsh_candidate_pairs(
+        docs, bands=4, rows_per_band=4, max_bucket_size=2
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_corpus_pagerank(spark, "/root/testdata/sf0.001")
@@ -1687,7 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train": q_split_train,
         "harmonic": q_harmonic,
         # -- round-5 additions (34-50); back-filled below ------------------
-        # (new round-5 queries are inserted here as they are built)
+        "wcc_stats": q_wcc_stats,
+        "graph_generate": q_graph_generate,
+        "lsh_pairs_capped": q_lsh_pairs_capped,
         # back-fill: round-4 first-green cohort, oldest evidence first
         "shortest_path": q_shortest_path,
         "scc": q_scc,
@@ -2431,6 +2489,21 @@ FROM wnodes n LEFT JOIN d ON d.dst = n.id"""
     sqls["wcc"] = SQL_WCC
     sqls["wcc_threshold"] = SQL_WCC_THRESHOLD
     sqls["wcc_sizes"] = SQL_WCC_SIZES
+    sqls["wcc_stats"] = SQL_WCC.replace(
+        f"SELECT id, comp FROM mlp WHERE iter = {WCC_SQL_ROUNDS}",
+        f"""SELECT COUNT(*) AS component_count, MIN(sz) AS min_size,
+       MAX(sz) AS max_size, AVG(sz) AS mean_size
+FROM (SELECT comp, COUNT(*) AS sz FROM mlp
+      WHERE iter = {WCC_SQL_ROUNDS} GROUP BY comp)""",
+    )
+
+    sqls["graph_generate"] = f"""WITH ns AS (SELECT range AS src FROM range(0, 500)),
+ks AS (SELECT range AS k FROM range(0, 6)),
+e AS (SELECT src, k FROM ns CROSS JOIN ks)
+SELECT src,
+       ({_h6("md5(src || ':' || k || ':tgt:42')")}) % 500 AS dst,
+       ({_h6("md5(src || ':' || k || ':w:42')")}) / 16777216.0 AS w
+FROM e"""
 
     sqls["labelprop_1iter"] = f"""WITH {SQL_EDGES}, {SQL_NODES},
 votes AS (SELECT src AS id, dst AS lbl, COUNT(*) AS w FROM edges GROUP BY 1, 2),
@@ -2605,6 +2678,31 @@ banded AS ({bands_sql})
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
 WHERE a.doc_id < b.doc_id"""
+
+    sqls["lsh_pairs_capped"] = f"""WITH docs3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+words AS (SELECT doc_id, unnest({SQL_TOKENS}) AS word FROM docs3),
+sig AS (SELECT doc_id,
+{mh16}
+FROM words GROUP BY doc_id),
+banded AS ({bands_sql}),
+marked AS (SELECT doc_id, band, bh,
+       COUNT(*) OVER (PARTITION BY band, bh) AS bsz,
+       MIN(doc_id) OVER (PARTITION BY band, bh) AS rep
+  FROM banded)
+SELECT DISTINCT doc1, doc2 FROM (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM marked a JOIN marked b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.bsz <= 2 AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT rep AS doc1, doc_id AS doc2 FROM marked
+  WHERE bsz > 2 AND doc_id <> rep
+)"""
 
     from graph_data_science_spark.operators.dedup import _KMH_M48, _KMH_MULT
 

@@ -105,11 +105,22 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_ids: Optional[list[int]] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """query_id, neighbor_id, cosine — approximate top-k: exact re-rank of
     same-bucket candidates, amplified across `n_tables` independent hash
     tables (collision prob per table ≈ (1 - θ/π)^n_planes; tables union the
-    candidate sets, the standard LSH recall amplification)."""
+    candidate sets, the standard LSH recall amplification).
+
+    `max_bucket_size` (the hot-bucket guard): a dense cluster of
+    near-identical vectors lands in ONE bucket of every table and the
+    within-bucket candidate join goes quadratic.  With a cap, the NEIGHBOR
+    side of each (table, bucket) keeps only a deterministic seeded sample of
+    `max_bucket_size` members (rank by xxhash64(id, seed)); the query side
+    is untouched, so every query still gets up to cap candidates per table
+    and the other tables amplify recall as usual.  Truncated-bucket counts
+    are logged eagerly (one aggregate over the bucketed rows) — no silent
+    truncation."""
     buckets = F.array(
         *[
             F.struct(
@@ -128,10 +139,31 @@ def lsh_ann_topk(
     q = base if query_ids is None else base.where(
         F.col("_id").isin([int(x) for x in query_ids])
     )
+    nbr_side = base
+    if max_bucket_size is not None:
+        w = Window.partitionBy("_tbl", "_bkt").orderBy(
+            F.xxhash64(F.col("_id"), F.lit(seed)), F.asc("_id")
+        )
+        ranked = base.withColumn("_r", F.row_number().over(w))
+        over = ranked.where(F.col("_r") > max_bucket_size)
+        stats = over.agg(
+            F.count_distinct("_tbl", "_bkt").alias("buckets"),
+            F.count(F.lit(1)).alias("dropped_slots"),
+        ).first()
+        if stats["buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_ann_topk: %d (table, bucket) groups over "
+                "max_bucket_size=%d — %d candidate slots sampled out "
+                "(deterministic seeded sample; queries unaffected)",
+                stats["buckets"], max_bucket_size, stats["dropped_slots"],
+            )
+        nbr_side = ranked.where(F.col("_r") <= max_bucket_size).drop("_r")
     a = q.select(
         F.col("_id").alias("query_id"), F.col("_v").alias("qv"), F.col("_n").alias("qn"), "_tbl", "_bkt"
     )
-    b = base.select(
+    b = nbr_side.select(
         F.col("_id").alias("neighbor_id"), F.col("_v").alias("nv"), F.col("_n").alias("nn"), "_tbl", "_bkt"
     )
     cand = (
@@ -155,6 +187,10 @@ def knn_refine(
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    delta_threshold: float = 0.0,
+    sample_rate: float = 1.0,
+    seed: int = 42,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """NN-Descent refinement (Knn.java neighbor-of-neighbor rounds).
 
@@ -165,6 +201,21 @@ def knn_refine(
     them, and keeps the best k per node.  Converges in 2-3 rounds on
     clustered data (the NN-Descent property: a neighbor's neighbor is likely
     a neighbor).
+
+    Convergence knobs (Knn.java config parity — `deltaThreshold`,
+    `sampleRate`):
+    - `delta_threshold`: stop early when a round changes fewer than
+      delta_threshold * n * k list entries (the reference's updateCount
+      termination; `rounds` becomes the maxIterations bound).  The update
+      count is one anti-join count per round over two parquet-backed
+      checkpoints — cheap relative to the round itself.
+    - `sample_rate`: each round proposes candidates from a deterministic
+      seeded sample of the current list entries (xxhash64 gate, reseeded
+      per round so coverage rotates) — the reference's per-node join-list
+      sampling, bounding the two-hop join fan-out at dense spots.  Exact
+      re-ranking and the keep-best-k merge are NOT sampled; only proposal
+      generation is.
+    - `stats`: optional dict filled with {"rounds_run", "last_updates"}.
     """
     from graph_data_science_spark.plans.checkpoint import SuperstepCheckpointer
 
@@ -179,11 +230,23 @@ def knn_refine(
     # history geometrically (parquet round-trip, not localCheckpoint — see
     # plans/checkpoint.py on sizeInBytes blowup)
     cur = ckpt.checkpoint(cur, 0, name="knn")
+    n_nodes = embeddings.count() if delta_threshold > 0 else None
+    rounds_run, last_updates = 0, None
     for r in range(rounds):
+        src = cur
+        if sample_rate < 1.0:
+            gate = int(sample_rate * 1_000_000)
+            src = cur.where(
+                F.pmod(
+                    F.xxhash64("query_id", "neighbor_id", F.lit(seed + r)),
+                    F.lit(1_000_000),
+                )
+                < gate
+            )
         fwd = (
-            cur.select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("mid"))
+            src.select(F.col("query_id").alias("q"), F.col("neighbor_id").alias("mid"))
             .join(
-                cur.select(
+                src.select(
                     F.col("query_id").alias("mid"), F.col("neighbor_id").alias("cand")
                 ),
                 "mid",
@@ -191,9 +254,9 @@ def knn_refine(
             .select("q", "cand")
         )
         rev = (
-            cur.select(F.col("neighbor_id").alias("q"), F.col("query_id").alias("mid"))
+            src.select(F.col("neighbor_id").alias("q"), F.col("query_id").alias("mid"))
             .join(
-                cur.select(
+                src.select(
                     F.col("query_id").alias("mid"), F.col("neighbor_id").alias("cand")
                 ),
                 "mid",
@@ -224,12 +287,26 @@ def knn_refine(
         )
         merged = cur.unionByName(scored)
         w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        prev = cur
         cur = (
             merged.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .drop("rn")
         )
         cur = ckpt.checkpoint(cur, r + 1, name="knn")
+        rounds_run = r + 1
+        if delta_threshold > 0:
+            # list entries new this round (both frames are parquet-backed)
+            last_updates = cur.join(
+                prev.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            ).count()
+            if last_updates < delta_threshold * n_nodes * k:
+                break
+    if stats is not None:
+        stats["rounds_run"] = rounds_run
+        stats["last_updates"] = last_updates
     return cur
 
 
@@ -443,6 +520,10 @@ def knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     inner_k: Optional[int] = None,
+    delta_threshold: float = 0.0,
+    sample_rate: float = 1.0,
+    max_bucket_size: Optional[int] = None,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """gds.knn analog: LSH-seeded neighbor lists + NN-Descent refinement.
 
@@ -450,14 +531,20 @@ def knn(
     reference's sampledK > k trick — then cuts to the requested k; the wider
     working lists are what make neighbor-of-neighbor proposals land
     (measured: recall@5 0.34 -> 0.95 on the 64-d test embeddings).
+
+    `delta_threshold` / `sample_rate` / `stats` pass through to `knn_refine`
+    (Knn.java's deltaThreshold early exit and sampleRate join-list sampling);
+    `max_bucket_size` passes through to the LSH init's hot-bucket guard.
     """
     ik = inner_k or max(3 * k, 15)
     init = lsh_ann_topk(
         embeddings, k=ik, n_planes=n_planes, n_tables=n_tables, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, max_bucket_size=max_bucket_size,
     )
     refined = knn_refine(
-        embeddings, init, k=ik, rounds=rounds, id_col=id_col, vec_col=vec_col
+        embeddings, init, k=ik, rounds=rounds, id_col=id_col, vec_col=vec_col,
+        delta_threshold=delta_threshold, sample_rate=sample_rate, seed=seed,
+        stats=stats,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return refined.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")

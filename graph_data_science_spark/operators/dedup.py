@@ -128,6 +128,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     scheme: str = "salted-md5",
     signatures: Optional[DataFrame] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """doc1 < doc2 pairs sharing at least one MinHash band bucket.
 
@@ -136,10 +137,29 @@ def lsh_candidate_pairs(
     themselves (the Jaccard estimate, any banding sweep) MUST pass their
     cached frame here — otherwise the md5 pass over every word of every
     document runs twice, and at 10^12 documents that pass IS the job.
+
+    `max_bucket_size` (the hot-bucket guard): near-identical boilerplate
+    (every "privacy policy" page) can collapse millions of docs into ONE
+    band bucket, and the all-pairs self-join inside it is quadratic — the
+    one skew mode the band join doesn't bound.  With a cap, buckets at or
+    under it pair all-vs-all exactly as before; an oversized bucket instead
+    emits a STAR to its min-doc_id representative (size-1 pairs instead of
+    size²/2).  Nothing is silently dropped: every doc in a hot bucket still
+    appears in at least one candidate pair, so downstream verify+WCC
+    clustering (`near_duplicate_clusters`) keeps the bucket connected and
+    still merges true duplicate groups — what the cap trades away is only
+    direct pairings among hot-bucket NON-duplicates that verification would
+    reject anyway.  Capped-bucket counts are logged eagerly (one aggregate
+    over the banded rows; pass a cached `signatures` frame so that stats
+    pass reuses it instead of re-hashing the corpus).
     """
     sig = signatures
     if sig is None:
         sig = minhash_signatures(docs, bands * rows_per_band, scheme=scheme)
+        if max_bucket_size is not None:
+            # the eager stats action below would otherwise re-run the full
+            # per-word hash pass when the pair join executes
+            sig = sig.cache()
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -149,6 +169,42 @@ def lsh_candidate_pairs(
     banded = sig.select(ID_COL, F.explode(F.array(*band_cols)).alias("bb")).select(
         ID_COL, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bh")
+        marked = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+            "_rep", F.min(ID_COL).over(w)
+        )
+        hot = marked.where(F.col("_bsz") > max_bucket_size)
+        # no silent truncation: report how much the cap rewired, eagerly
+        stats = hot.agg(
+            F.count_distinct("band", "bh").alias("buckets"),
+            F.count(F.lit(1)).alias("doc_slots"),
+            F.coalesce(F.max("_bsz"), F.lit(0)).alias("largest"),
+        ).first()
+        if stats["buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: %d band buckets over max_bucket_size=%d "
+                "(%d doc slots, largest %d) switched from all-pairs to "
+                "star-to-representative pairing",
+                stats["buckets"], max_bucket_size, stats["doc_slots"],
+                stats["largest"],
+            )
+        cold = marked.where(F.col("_bsz") <= max_bucket_size)
+        a = cold.select(F.col(ID_COL).alias("doc1"), "band", "bh")
+        b = cold.select(F.col(ID_COL).alias("doc2"), "band", "bh")
+        all_pairs = (
+            a.join(b, ["band", "bh"])
+            .where(F.col("doc1") < F.col("doc2"))
+            .select("doc1", "doc2")
+        )
+        star = hot.where(F.col(ID_COL) != F.col("_rep")).select(
+            F.col("_rep").alias("doc1"), F.col(ID_COL).alias("doc2")
+        )
+        return all_pairs.unionByName(star).distinct()
     a = banded.select(F.col(ID_COL).alias("doc1"), "band", "bh")
     b = banded.select(F.col(ID_COL).alias("doc2"), "band", "bh")
     return (
@@ -384,6 +440,7 @@ def dedup_clusters(
     bands: int = 4,
     rows_per_band: int = 4,
     candidate_pairs: Optional[DataFrame] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """End-to-end fuzzy-dedup pipeline: MinHash-LSH candidates -> n-gram
     Jaccard verification >= threshold -> connected components over the
@@ -407,7 +464,8 @@ def dedup_clusters(
 
     if candidate_pairs is None:
         candidate_pairs = lsh_candidate_pairs(
-            docs, bands=bands, rows_per_band=rows_per_band
+            docs, bands=bands, rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
         )
     verified = ngram_jaccard_pairs(docs, n=n, candidate_pairs=candidate_pairs).where(
         F.col("jaccard") >= threshold

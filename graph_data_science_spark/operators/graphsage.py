@@ -165,12 +165,20 @@ def _mean_with_self(h: DataFrame, adj: DataFrame, dim: int) -> DataFrame:
     nbr = adj.join(
         h.select(F.col("id").alias("dst"), F.col("h").alias("nh")), "dst"
     )
+    # collect_list order follows task completion order, and float addition is
+    # not associative — an unsorted fold makes embeddings differ in the last
+    # ulp between runs.  array_sort on (dst, nh) pins the fold order (dst is
+    # unique per src after distinct); the list is bounded by the sample size
+    # k, so the per-group sort is O(k log k) on tiny arrays.
     agg = (
         nbr.groupBy("src")
         .agg(
             F.count(F.lit(1)).alias("_c"),
             F.aggregate(
-                F.collect_list("nh"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dst", "nh"))),
+                    lambda s: s["nh"],
+                ),
                 zero,
                 lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
             ).alias("_s"),

@@ -237,7 +237,22 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
     # count — one action, one barrier, one serial driver round per K
     # supersteps.  With K=1 this reproduces GDS's per-iteration convergence
     # reporting exactly.
+    #
+    # Each in-window delta is persisted (MEMORY_AND_DISK, node-sized rows):
+    # delta_i has TWO consumers — the next superstep's senders and the
+    # boundary rank rebuild — and without the persist the rebuild re-executes
+    # every reduce-side aggregation of the chain (measured: K=8 DOUBLED q1
+    # wall at sf0.1 vs K=4, BENCH.md "checkpoint-window sensitivity").  The
+    # cache is populated inside the one window job and dropped right after
+    # the boundary write commits, so peak extra memory is K node-sized
+    # frames; on block loss the lineage is intact and recompute is bounded by
+    # the previous parquet checkpoint.  With it, widening K trades nothing
+    # away — the serial barrier floor amortizes over K supersteps while the
+    # boundary rebuild stays one union + one agg over already-materialized
+    # rows.
     every = max(1, int(cfg.checkpoint_every))
+    from pyspark import StorageLevel
+
     with no_aqe(spark):
         delta = None  # in-window chained (id, delta) stream; None = at boundary
         window: list = []
@@ -261,6 +276,7 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
                 .agg((F.lit(d) * F.sum(F.col("delta") * F.col("share"))).alias("delta"))
                 .select(F.col("dst").alias("id"), "delta")
             )
+            delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
             window.append(delta)
             if t % every != 0 and t != cfg.max_iterations - 1:
                 continue
@@ -390,6 +406,8 @@ def _delta_push(graph: LinkGraph, cfg: PageRankConfig, denominator: str) -> Cent
                     ).alias("active"),
                 )
             state = ckpt.checkpoint(new_state, t)
+            for w_df in window:
+                w_df.unpersist()
             delta, window = None, []
             active = int(obs.get["active"] or 0) if obs is not None else -1
             ckpt.log(

@@ -21,7 +21,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 POOL = os.path.join(REPO, "scaling_samples.jsonl")
 SECTIONS = os.path.join(REPO, "scripts", "bench_sections.md")
-ROUND = 4  # tag new samples; the render pools only the current round
+ROUND = 5  # tag new samples; the render pools only the current round
 
 WORKER = r'''
 import sys, statistics
@@ -278,6 +278,25 @@ def render(pool: list[dict]) -> None:
 
 
 def main():
+    # weak mode: cores and replicate scale together (fixed per-core load)
+    #   python scripts/scaling_evidence.py weak <n> <K> <lo> <hi> <rep_lo>
+    if len(sys.argv) > 1 and sys.argv[1] == "weak":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        k = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        lo = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+        hi = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+        rep_lo = int(sys.argv[6]) if len(sys.argv) > 6 else 48
+        for _ in range(n):
+            for cpus, rep in ((lo, rep_lo), (hi, rep_lo * hi // lo)):
+                s = run_sample(cpus, k, rep)
+                s["round"] = ROUND
+                s["mode"] = "weak"
+                with open(POOL, "a") as f:
+                    f.write(json.dumps(s) + "\n")
+                print(f"weak local[{cpus}] x{rep}: median={s['median_superstep_s']}s "
+                      f"steady_eps={s['steady_eps']:,}")
+        render(load_pool())
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     rep = int(sys.argv[3]) if len(sys.argv) > 3 else 192

@@ -24,6 +24,10 @@ from graph_data_science_spark.operators.text import ID_COL, TEXT_COL, tokens
 
 HEX = "0123456789abcdef"
 
+# exact-mode all-pairs refusal threshold (embedding_near_duplicates without
+# block_col) — mirrors ann.KNN_ALL_PAIRS_LIMIT
+EXACT_ALL_PAIRS_LIMIT = 16384
+
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical texts: fp, n_docs, canonical_id (min doc_id),
@@ -373,9 +377,25 @@ def embedding_near_duplicates(
     vectors, which collide with probability (1 - theta/pi)^n_planes per
     table — high for the tiny angles a dedup threshold implies.
 
+    Exact mode without block_col REFUSES past EXACT_ALL_PAIRS_LIMIT rows
+    (same guard discipline as knn_properties / betweenness.guard_all_sources:
+    the default may not silently schedule a web-scale cartesian product).
+    The probe is bounded — limit(N+1).count() peeks a few partitions, it
+    does not scan the table.
+
     Dot products run as JVM higher-order functions — no Python either way.
     """
     if method == "exact" and block_col is None:
+        if (
+            embeddings.limit(EXACT_ALL_PAIRS_LIMIT + 1).count()
+            > EXACT_ALL_PAIRS_LIMIT
+        ):
+            raise ValueError(
+                "embedding_near_duplicates(method='exact') without block_col "
+                f"on >{EXACT_ALL_PAIRS_LIMIT} rows is a cartesian product. "
+                "Pass block_col= for blocked exact comparison, or "
+                "method='lsh' for the approximate at-scale path."
+            )
         import warnings
 
         warnings.warn(

@@ -170,6 +170,24 @@ class TestDedup:
         nd = dedup.embedding_near_duplicates(e, threshold=0.99, block_col="label").collect()
         assert [(r["id1"], r["id2"]) for r in nd] == [(1, 2)]
 
+    def test_embedding_near_duplicates_refuses_unblocked_quadratic(
+        self, spark, monkeypatch
+    ):
+        # exact mode without block_col must refuse past the all-pairs limit
+        # (guard discipline shared with knn_properties); lower the limit so
+        # the fixture stays tiny
+        monkeypatch.setattr(dedup, "EXACT_ALL_PAIRS_LIMIT", 4)
+        e = spark.range(6).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="cartesian product"):
+            dedup.embedding_near_duplicates(e, method="exact")
+        # under the limit the contract-literal exact path still runs
+        small = e.limit(3)
+        with pytest.warns(UserWarning, match="quadratic"):
+            dedup.embedding_near_duplicates(small, method="exact").collect()
+
 
 class TestAnn:
     def test_bruteforce_topk_matches_numpy(self, embeddings):

@@ -1684,6 +1684,83 @@ def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.shortestPath.dijkstra source-target analog
+    (operators/paths.py dijkstra_source_target; Dijkstra.java:49): one
+    PathResult row for the farthest-id reachable target, relaxation cut
+    short by the settled-target frontier bound.  The oracle replays the
+    full BFS + min-id predecessor tree and filters to the same target."""
+    _tune(spark)
+    g = _sparse_graph(spark, sf_dir)
+    src = int(g.nodes.agg(F.min("id")).collect()[0][0])
+    reach = path_ops.sssp_delta(g, src, weighted=False)
+    tgt = int(reach.distances.agg(F.max("id")).collect()[0][0])
+    res = path_ops.dijkstra_source_target(g, src, tgt, weighted=False)
+    return res.paths.select(
+        "target",
+        F.round("total_cost", 6).alias("distance"),
+        F.array_join(F.transform("node_ids", lambda x: x.cast("string")), "->").alias(
+            "path_str"
+        ),
+    )
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact out-degree distribution (degree, node_count) — the histogram
+    behind gds.graph.list's degreeDistribution
+    (operators/degree.py degree_histogram)."""
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    return deg_ops.degree_histogram(g).select(
+        F.col("degree").cast("long").alias("degree"), "node_count"
+    )
+
+
+def q_pagerank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-mode row through the one-call surface (PageRankStatsProc
+    analog, proc/centrality/.../pagerank/PageRankStatsProc.java): node
+    count + score min/max/mean from `run(g, "pagerank", mode="stats")`.
+    min/max round-6 agree because the per-node scores agree at round-6
+    (the `pagerank` oracle); mean is rounded to 3 decimals to absorb
+    summation-order noise across engines."""
+    from graph_data_science_spark.operators import modes as modes_ops
+
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    st = modes_ops.run(
+        g, "pagerank", mode="stats", tolerance=0.0, max_iterations=PR_ITERS + 1
+    )
+    return spark.createDataFrame(
+        [(int(st["nodeCount"]), round(float(st["min"]), 6),
+          round(float(st["max"]), 6), round(float(st["mean"]), 3))],
+        "node_count long, min_score double, max_score double, mean_score double",
+    )
+
+
+def q_estimate_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.estimate` twin as a first-class row (MemoryUsageValidator /
+    Pregel.memoryEstimation analog, pregel/.../Pregel.java:78-95): the
+    PageRank forecast is pure integer arithmetic over exact node/edge
+    counts (plans/estimate.py ALGO_ESTIMATES), so the oracle recomputes
+    it from COUNT(*) — byte-for-byte."""
+    from graph_data_science_spark.operators import modes as modes_ops
+
+    _tune(spark)
+    g = _dense_graph(spark, sf_dir)
+    est = modes_ops.run(g, "pagerank", mode="estimate", max_iterations=20)
+    return spark.createDataFrame(
+        [(
+            int(est["node_count"]), int(est["relationship_count"]),
+            int(est["planned_iterations"]), int(est["est_state_bytes"]),
+            int(est["est_message_bytes_per_superstep"]),
+            int(est["est_total_shuffle_bytes"]), int(est["est_peak_bytes"]),
+        )],
+        "node_count long, relationship_count long, planned_iterations long, "
+        "est_state_bytes long, est_message_bytes_per_superstep long, "
+        "est_total_shuffle_bytes long, est_peak_bytes long",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_corpus_pagerank(spark, "/root/testdata/sf0.001")
@@ -1746,6 +1823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_stats": q_wcc_stats,
         "graph_generate": q_graph_generate,
         "lsh_pairs_capped": q_lsh_pairs_capped,
+        "dijkstra": q_dijkstra,
+        "degree_histogram": q_degree_histogram,
+        "pagerank_stats": q_pagerank_stats,
+        "estimate_pagerank": q_estimate_pagerank,
         # back-fill: round-4 first-green cohort, oldest evidence first
         "shortest_path": q_shortest_path,
         "scc": q_scc,
@@ -3131,6 +3212,35 @@ FROM wnodes n LEFT JOIN (SELECT id, lbl FROM top WHERE rn = 1) t ON t.id = n.id"
     sqls["random_walks"] = SQL_RANDOM_WALKS
     sqls["betweenness"] = _sql_betweenness(6)
     sqls["shortest_path"] = SQL_SHORTEST_PATH
+
+    # dijkstra source-target = the shortest-path replay filtered to the
+    # farthest-id reachable target (the Spark side's target choice)
+    sqls["dijkstra"] = (
+        SQL_SHORTEST_PATH + "\nWHERE d.id = (SELECT MAX(id) FROM dist)"
+    )
+
+    sqls["degree_histogram"] = f"""WITH {SQL_EDGES}, {SQL_NODES},
+deg AS (SELECT n.id, COUNT(e.src) AS degree
+        FROM nodes n LEFT JOIN edges e ON e.src = n.id GROUP BY n.id)
+SELECT degree, COUNT(*) AS node_count FROM deg GROUP BY degree"""
+
+    sqls["pagerank_stats"] = _sql_pagerank(PR_ITERS, weighted=False).replace(
+        f"SELECT id, ROUND(rank, 6) AS score FROM pr WHERE iter = {PR_ITERS}",
+        f"""SELECT COUNT(*) AS node_count, ROUND(MIN(rank), 6) AS min_score,
+       ROUND(MAX(rank), 6) AS max_score, ROUND(AVG(rank), 3) AS mean_score
+FROM pr WHERE iter = {PR_ITERS}""",
+    )
+
+    # the estimate twin is integer arithmetic over exact counts:
+    # state = 24 B/node (long id + double rank + double delta),
+    # message = 16 B/edge (long dst + double delta) — ALGO_ESTIMATES
+    sqls["estimate_pagerank"] = f"""WITH {SQL_EDGES}, {SQL_NODES},
+c AS (SELECT (SELECT COUNT(*) FROM nodes) AS n, (SELECT COUNT(*) FROM edges) AS e)
+SELECT n AS node_count, e AS relationship_count, 20::BIGINT AS planned_iterations,
+       n * 24 AS est_state_bytes, e * 16 AS est_message_bytes_per_superstep,
+       (n * 24 + e * 16) * 20 AS est_total_shuffle_bytes,
+       n * 24 * 2 + e * 16 AS est_peak_bytes
+FROM c"""
     sqls["scc"] = SQL_SCC
     sqls["multimodal_features"] = SQL_MULTIMODAL
 

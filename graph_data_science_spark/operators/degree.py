@@ -23,6 +23,22 @@ def degree_centrality(
     )
 
 
+def degree_histogram(
+    graph: LinkGraph, orientation: Orientation = Orientation.NATURAL
+) -> DataFrame:
+    """Exact (degree, node_count) rows — the full distribution behind the
+    percentile summary below (HistogramUtils.similaritySummary analog for
+    degrees; gds.graph.list's degreeDistribution field,
+    core/.../loading/GraphStoreCatalog.java:185-193 caches exactly this).
+    Two map-side-combined aggregations; output is at most max-degree rows,
+    so it broadcasts anywhere downstream at any corpus scale."""
+    return (
+        graph.degrees(orientation=orientation)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("node_count"))
+    )
+
+
 def degree_distribution(graph: LinkGraph, orientation: Orientation = Orientation.NATURAL) -> dict:
     """Percentile summary cached by the catalog for gds.graph.list
     (core/.../loading/GraphStoreCatalog.java:185-193)."""

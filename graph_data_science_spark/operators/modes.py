@@ -367,6 +367,24 @@ def _bfs():
     )
 
 
+def _dijkstra():
+    from graph_data_science_spark.operators import paths as p
+
+    def run(g, cfg):
+        if "target" in cfg:
+            return p.dijkstra_source_target(g, **cfg)
+        return p.dijkstra_single_source(g, **cfg)
+
+    return AlgoSpec(
+        run,
+        lambda r: r.distances.where(F.col("distance") != float("inf")),
+        "distance",
+        "centrality",
+        iter_key="max_rounds",
+        default_iters=100,
+    )
+
+
 _ALGOS: dict[str, Callable[[], AlgoSpec]] = {
     "pagerank": lambda: _pagerank("pagerank"),
     "articlerank": lambda: _pagerank("articlerank"),
@@ -391,6 +409,7 @@ _ALGOS: dict[str, Callable[[], AlgoSpec]] = {
     "graphsage": _graphsage,
     "sssp": _sssp,
     "bfs": _bfs,
+    "dijkstra": _dijkstra,
 }
 
 MODES = ("stream", "stats", "mutate", "write", "estimate")

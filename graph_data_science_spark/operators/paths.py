@@ -13,6 +13,11 @@
   delta-relaxation returns identical distances.
 - shortest_paths: predecessor-tracked SSSP + pointer-doubling path
   reconstruction (the PathResult analog, Dijkstra.java:49).
+- dijkstra_source_target / dijkstra_single_source
+  (gds.shortestPath.dijkstra.* / gds.allShortestPaths.dijkstra.*,
+  algo/.../paths/dijkstra/Dijkstra.java): the PQ's settled-target stop
+  becomes a frontier-bound early exit on the same fixpoint — identical
+  distances/paths on non-negative weights, rounds ~ target hop radius.
 - astar (gds.shortestPath.astar.*, algo/.../paths/astar/AStar.java):
   A* == Dijkstra on potential-shifted weights w'(u,v) = w + h(v) - h(u)
   (Johnson reweighting with an admissible, consistent heuristic — the
@@ -162,7 +167,16 @@ def sssp_delta(
     weighted: bool = True,
     max_rounds: int = 100,
     checkpoint_path: Optional[str] = None,
+    targets: Optional[list] = None,
 ) -> SsspResult:
+    """`targets`: optional settled-target early exit (the Dijkstra
+    source-target stopping rule, algo/.../paths/dijkstra/Dijkstra.java:
+    TargetTraversalPredicate — the reference stops when the target leaves
+    the PQ).  With non-negative weights every value assigned after this
+    round is >= the round's minimum improved distance, so once every
+    target is reached AND min(frontier distance) >= max(target distance)
+    the targets are final; all checks ride the existing per-round
+    Observation (zero extra Spark actions)."""
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, checkpoint_path)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -194,16 +208,32 @@ def sssp_delta(
             )
             # improved-count rides the checkpoint write — one action per round
             obs = Observation()
-            merged = merged.observe(
-                obs, F.sum((F.col("distance") < F.col("old")).cast("long")).alias("imp")
-            )
+            improved_flag = F.col("distance") < F.col("old")
+            aggs = [F.sum(improved_flag.cast("long")).alias("imp")]
+            if targets:
+                tset = [int(t) for t in targets]
+                is_t = F.col("id").isin(tset)
+                aggs += [
+                    F.min(F.when(improved_flag, F.col("distance"))).alias("fmin"),
+                    F.max(F.when(is_t, F.col("distance"))).alias("tmax"),
+                    F.sum(
+                        (is_t & (F.col("distance") != float("inf"))).cast("long")
+                    ).alias("treached"),
+                ]
+            merged = merged.observe(obs, *aggs)
             merged = ckpt.checkpoint(merged, r)
-            improved = int(obs.get["imp"] or 0)
+            got = obs.get
+            improved = int(got["imp"] or 0)
             frontier = merged.where(F.col("distance") < F.col("old")).select("id", "distance")
             ckpt.log(r, algorithm="sssp_delta", improved=improved)
             dist = merged.select("id", "distance")
             if improved == 0:
                 break
+            if targets and int(got["treached"] or 0) == len(set(tset)):
+                fmin, tmax = got["fmin"], got["tmax"]
+                if fmin is None or (tmax is not None and fmin >= tmax):
+                    ckpt.log(r, algorithm="sssp_delta", targets_settled=True)
+                    break
     edges.unpersist()
     return SsspResult(dist, rounds, ckpt.metrics)
 
@@ -227,6 +257,7 @@ def shortest_paths(
     weighted: bool = True,
     max_rounds: int = 100,
     checkpoint_path: Optional[str] = None,
+    targets: Optional[list] = None,
 ) -> ShortestPathResult:
     """Single-source shortest PATHS (distances + actual node sequences).
 
@@ -242,8 +273,29 @@ def shortest_paths(
     spark = graph.nodes.sparkSession
     ckpt = SuperstepCheckpointer(spark, checkpoint_path)
     res = sssp_delta(graph, source, weighted=weighted, max_rounds=max_rounds,
-                     checkpoint_path=checkpoint_path)
+                     checkpoint_path=checkpoint_path, targets=targets)
     dist = res.distances.where(F.col("distance") != float("inf"))
+    if targets:
+        # target early exit leaves distances > max(target distance)
+        # potentially unsettled; every node at or below that horizon IS
+        # settled (see sssp_delta), and no unsettled node can forge a
+        # predecessor equality below it — restrict the rebuild to the
+        # settled horizon so pred derivation stays exact and the
+        # pointer-doubling state stays small.
+        tset = [int(t) for t in targets]
+        horizon = (
+            dist.where(F.col("id").isin(tset)).agg(F.max("distance")).collect()[0][0]
+        )
+        if horizon is None:
+            empty_paths = spark.createDataFrame(
+                [],
+                "source long, target long, total_cost double, "
+                "node_ids array<long>, costs array<double>",
+            )
+            return ShortestPathResult(
+                empty_paths, dist.where(F.lit(False)), res.rounds, ckpt.metrics
+            )
+        dist = dist.where(F.col("distance") <= float(horizon))
 
     w = F.col("weight") if weighted else F.lit(1.0)
     edges = graph.edges.select("src", "dst", w.alias("w"))
@@ -304,7 +356,52 @@ def shortest_paths(
         F.col("seg.node").alias("node_ids"),
         F.col("seg.cost").alias("costs"),
     )
+    if targets:
+        paths = paths.where(F.col("target").isin(tset))
+        dist = dist.where(F.col("id").isin(tset))
     return ShortestPathResult(paths, dist, res.rounds, ckpt.metrics)
+
+
+def dijkstra_source_target(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    weighted: bool = True,
+    max_rounds: int = 100,
+    checkpoint_path: Optional[str] = None,
+) -> ShortestPathResult:
+    """gds.shortestPath.dijkstra analog (algo/src/main/java/org/neo4j/gds/
+    paths/dijkstra/Dijkstra.java:49 sourceTarget mode, PathResult output).
+
+    The sequential PQ has no Spark analog; distances come from the same
+    delta-relaxation fixpoint (identical results on non-negative weights),
+    with the reference's settled-target STOP rule mapped to the frontier
+    bound: quit relaxing once min(frontier) >= d(target) — so a nearby
+    target costs rounds ~ its hop radius, not the graph diameter.  Path
+    reconstruction runs only below the settled horizon.  Returns one row in
+    `.paths` (empty if unreachable).
+    """
+    return shortest_paths(
+        graph, source, weighted=weighted, max_rounds=max_rounds,
+        checkpoint_path=checkpoint_path, targets=[int(target)],
+    )
+
+
+def dijkstra_single_source(
+    graph: LinkGraph,
+    source: int,
+    weighted: bool = True,
+    max_rounds: int = 100,
+    checkpoint_path: Optional[str] = None,
+) -> ShortestPathResult:
+    """gds.allShortestPaths.dijkstra analog (Dijkstra.java singleSource
+    mode): one PathResult row per reachable node.  Same fixpoint + pred-tree
+    machinery as shortest_paths — this alias exists so the reference's two
+    Dijkstra procs both have a named surface."""
+    return shortest_paths(
+        graph, source, weighted=weighted, max_rounds=max_rounds,
+        checkpoint_path=checkpoint_path,
+    )
 
 
 def astar(

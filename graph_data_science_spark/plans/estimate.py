@@ -65,6 +65,8 @@ ALGO_ESTIMATES: dict[str, dict] = {
                    "message": _w("long", "long"), "iters": 20},
     "sssp": {"state": _w("long", "double"),
              "message": _w("long", "double"), "iters": 100},
+    "dijkstra": {"state": _w("long", "double"),
+                 "message": _w("long", "double"), "iters": 100},
     "bfs": {"state": _w("long", "int"),
             "message": _w("long", "int"), "iters": 32},
     "scc": {"state": _w("long", "long", "long"),

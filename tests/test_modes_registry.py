@@ -32,6 +32,7 @@ NEW_ALGOS = {
     },
     "sssp": {"source": 0, "weighted": False},
     "bfs": {"source": 0},
+    "dijkstra": {"source": 0, "target": 3, "weighted": False},
 }
 
 
@@ -66,7 +67,7 @@ def test_registry_is_complete():
         "triangles", "degree", "louvain", "scc", "hits", "closeness",
         "harmonic", "betweenness", "maxkcut", "kmeans", "k1coloring",
         "node_similarity", "knn", "fastrp", "node2vec", "graphsage",
-        "sssp", "bfs",
+        "sssp", "bfs", "dijkstra",
     ]:
         assert a in modes._ALGOS, a
 

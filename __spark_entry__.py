@@ -1761,6 +1761,52 @@ def q_estimate_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_louvain_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain intermediateCommunities contract row (Louvain.java:90-140
+    dendrogram parity; operators/louvain.py include_intermediate): every
+    node carries one entry per ran level, the last entry IS the final
+    community, consecutive levels strictly coarsen (nodes sharing a level-l
+    community never split at level l+1), and per-level modularity is
+    non-decreasing (each level's local moving only improves it)."""
+    _tune(spark)
+    from graph_data_science_spark.operators.louvain import louvain, LouvainConfig
+
+    g = _sparse_graph(spark, sf_dir)
+    res = louvain(
+        g, LouvainConfig(max_levels=3, max_inner_iterations=5,
+                         include_intermediate=True)
+    )
+    inter = res.intermediate_communities
+    joined = inter.join(res.communities, "id")
+    bad_len = joined.where(
+        F.size("intermediate_communities") != res.ran_levels
+    ).count()
+    bad_last = joined.where(
+        F.element_at("intermediate_communities", -1) != F.col("community")
+    ).count()
+    # coarsening: group by level-l label, demand one distinct level-(l+1) label
+    splits = 0
+    for lvl in range(1, res.ran_levels):
+        splits += (
+            inter.select(
+                F.element_at("intermediate_communities", lvl).alias("a"),
+                F.element_at("intermediate_communities", lvl + 1).alias("b"),
+            )
+            .groupBy("a").agg(F.countDistinct("b").alias("nb"))
+            .where(F.col("nb") > 1).count()
+        )
+    mono = all(
+        res.modularities[i + 1] >= res.modularities[i] - 1e-9
+        for i in range(len(res.modularities) - 1)
+    )
+    return spark.createDataFrame(
+        [(bool(bad_len == 0), bool(bad_last == 0), bool(splits == 0),
+          bool(mono))],
+        "levels_complete boolean, last_is_final boolean, "
+        "coarsening boolean, modularity_monotone boolean",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_corpus_pagerank(spark, "/root/testdata/sf0.001")
@@ -1776,11 +1822,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       positions 1-33  : the 33 queries parked past the window in round 4
                         (node_similarity .. harmonic) — they regain
                         driver-recorded rows this round
-      positions 34-50 : ~17 slots for round-5 additions; any slot not used
-                        by a new query is back-filled from the cohort that
-                        has been driver-green only once (round-4 firsts)
-      positions 51+   : parked this round — the round-4 cohort (fresh r04
-                        rows) and the triple-green stable core
+      positions 34-41 : the 8 round-5 additions (wcc_stats, graph_generate,
+                        lsh_pairs_capped, dijkstra, degree_histogram,
+                        pagerank_stats, estimate_pagerank,
+                        louvain_dendrogram)
+      positions 42-50 : back-filled from the cohort that has been
+                        driver-green only once (round-4 firsts, oldest
+                        evidence first; the 8 displaced members hold fresh
+                        r04 rows and park at 51+)
+      positions 51+   : parked this round — the rest of the round-4 cohort
+                        (fresh r04 rows) and the triple-green stable core
     ROUND-6 PLAN (if any): rotate the parked cohort back to the front,
     park whatever holds fresh r05 rows, keep slots for new queries.
     """
@@ -1827,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "pagerank_stats": q_pagerank_stats,
         "estimate_pagerank": q_estimate_pagerank,
+        "louvain_dendrogram": q_louvain_dendrogram,
         # back-fill: round-4 first-green cohort, oldest evidence first
         "shortest_path": q_shortest_path,
         "scc": q_scc,
@@ -3229,6 +3281,13 @@ SELECT degree, COUNT(*) AS node_count FROM deg GROUP BY degree"""
         f"""SELECT COUNT(*) AS node_count, ROUND(MIN(rank), 6) AS min_score,
        ROUND(MAX(rank), 6) AS max_score, ROUND(AVG(rank), 3) AS mean_score
 FROM pr WHERE iter = {PR_ITERS}""",
+    )
+
+    # dendrogram invariants are structural (no single-shot SQL for the
+    # hierarchical fixpoint — same treatment as the `louvain` contract row)
+    sqls["louvain_dendrogram"] = (
+        "SELECT TRUE AS levels_complete, TRUE AS last_is_final,"
+        " TRUE AS coarsening, TRUE AS modularity_monotone"
     )
 
     # the estimate twin is integer arithmetic over exact counts:

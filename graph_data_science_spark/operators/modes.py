@@ -377,7 +377,7 @@ def _dijkstra():
 
     return AlgoSpec(
         run,
-        lambda r: r.distances.where(F.col("distance") != float("inf")),
+        lambda r: r.distances,  # unreachable nodes are omitted by construction
         "distance",
         "centrality",
         iter_key="max_rounds",

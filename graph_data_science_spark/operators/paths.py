@@ -188,6 +188,7 @@ def sssp_delta(
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, distance double")
     frontier = dist
     rounds = 0
+    tset = sorted({int(t) for t in targets}) if targets else []
     from pyspark.sql import Observation
 
     with no_aqe(spark):
@@ -210,15 +211,12 @@ def sssp_delta(
             obs = Observation()
             improved_flag = F.col("distance") < F.col("old")
             aggs = [F.sum(improved_flag.cast("long")).alias("imp")]
-            if targets:
-                tset = [int(t) for t in targets]
+            if tset:
                 is_t = F.col("id").isin(tset)
                 aggs += [
                     F.min(F.when(improved_flag, F.col("distance"))).alias("fmin"),
                     F.max(F.when(is_t, F.col("distance"))).alias("tmax"),
-                    F.sum(
-                        (is_t & (F.col("distance") != float("inf"))).cast("long")
-                    ).alias("treached"),
+                    F.count(F.when(is_t, F.lit(1))).alias("treached"),
                 ]
             merged = merged.observe(obs, *aggs)
             merged = ckpt.checkpoint(merged, r)
@@ -229,9 +227,9 @@ def sssp_delta(
             dist = merged.select("id", "distance")
             if improved == 0:
                 break
-            if targets and int(got["treached"] or 0) == len(set(tset)):
-                fmin, tmax = got["fmin"], got["tmax"]
-                if fmin is None or (tmax is not None and fmin >= tmax):
+            # improved > 0 here, so fmin (min improved distance) is non-null
+            if tset and int(got["treached"] or 0) == len(tset):
+                if got["fmin"] >= got["tmax"]:
                     ckpt.log(r, algorithm="sssp_delta", targets_settled=True)
                     break
     edges.unpersist()
@@ -674,7 +672,11 @@ def _path_to(graph, source, target, weighted, max_rounds, banned_edges, banned_n
             cond = c if cond is None else (cond | c)
         e = e.where(~cond)
     g = LinkGraph(nodes=graph.nodes.select("id"), edges=e)
-    res = shortest_paths(g, int(source), weighted=weighted, max_rounds=max_rounds)
+    # settled-target early exit: each spur SSSP stops at ~the target's hop
+    # radius instead of the subgraph diameter, and the pred-tree rebuild
+    # runs only below the settled horizon
+    res = shortest_paths(g, int(source), weighted=weighted, max_rounds=max_rounds,
+                         targets=[int(target)])
     row = res.paths.where(F.col("target") == int(target)).collect()
     if not row:
         return None
